@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.Turn
+import graft.operators._
+import graft.sources.Synth
+
+/** End-to-end batch pipeline facade: evidence dim -> filter -> ct ->
+  * broadcast index -> per-turn annotation (the reference's entry-point-1
+  * call chain, SURVEY.md §3, re-expressed Spark-first).
+  */
+object Pipeline {
+
+  /** Default knowledge-base scale + configs used by entry/bench. */
+  val DefaultGenes = 40
+  val DefaultSeed = 42L
+
+  val defaultCt: CtConfig = CtConfig(
+    diseaseNameNotIn = Seq("small"),
+    diseaseNameIn = Seq("bladder"),
+    altDiseaseNames = Seq("cancer", "solid tumor"))
+
+  /** TCGA-driver-style evidence filter (reference:
+    * Query_CIViCutils.py:558): drop FUNCTIONAL/ONCOGENIC evidence, keep
+    * ACCEPTED, drop GERMLINE origin.
+    */
+  val defaultFilter: FilterConfig = FilterConfig(
+    evidenceTypeNotIn = Seq("FUNCTIONAL", "ONCOGENIC"),
+    evidenceStatusIn = Seq("ACCEPTED"),
+    varOriginNotIn = Seq("GERMLINE"))
+
+  def buildIndex(spark: SparkSession,
+                 nGenes: Int = DefaultGenes,
+                 seed: Long = DefaultSeed,
+                 filter: FilterConfig = defaultFilter,
+                 ct: CtConfig = defaultCt,
+                 selectCt: Either[String, Seq[String]] = Left("highest")): Broadcast[DimIndex] = {
+    val dim = Synth.evidenceDim(spark, nGenes, seed).toDF()
+    val filtered = EvidenceFilter(dim, filter)
+    val idx = DimIndex.build(spark, filtered, ct, selectCt)
+    spark.sparkContext.broadcast(idx)
+  }
+
+  /** Map-only batch annotation of a turn Dataset. */
+  def annotate(turns: Dataset[Turn], bc: Broadcast[DimIndex]): Dataset[Annotation] =
+    MatchKernel.annotate(turns, bc)
+
+  /** Flagship end-to-end run on synthesized transcripts. */
+  def run(spark: SparkSession,
+          cfg: Synth.TurnGenConfig = Synth.TurnGenConfig(
+            nConvs = 100, turnsPerConv = 10, nGenes = DefaultGenes)): DataFrame = {
+    val bc = buildIndex(spark, cfg.nGenes)
+    annotate(Synth.transcripts(spark, cfg), bc).toDF()
+  }
+}

@@ -1,13 +1,202 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Synth
+
+/** Driver contract — flagship entry, per-operator queries, and DuckDB
+  * oracle SQL (see /root/repo/SURVEY.md §7 + the builder prompt).
+  *
+  * Query naming: q0x = relational subset over the TPC-H-ish testdata
+  * (DuckDB-oracle-checked); q2x = engine-specific operators over the
+  * deterministic synthetic transcript/evidence fixtures (rows-only
+  * checks — not expressible in portable SQL).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full match->annotate pipeline over synthesized
+    * transcripts (driver smoke-checks rows>0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.run(spark)
+      .select(col("conv_id"), col("turn_idx"), col("gene_key"),
+        col("data_type"), col("highest_tier"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- relational subset (oracle-checked) --------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_top_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q03_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+    "q04_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "q05_customer_best_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("best_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q06_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+    "q07_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q08_events_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+    "q09_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+    // ----- engine operators over deterministic fixtures (rows-only) ----
+    "q20_match_tier_counts" -> ((s, _) => {
+      Pipeline.run(s).groupBy(col("data_type"), col("highest_tier"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("data_type"), col("highest_tier"))
+    }),
+    "q21_annotations" -> ((s, _) => {
+      Pipeline.run(s)
+        .select(col("conv_id"), col("turn_idx"), col("gene_key"),
+          col("data_type"), col("highest_tier"),
+          concat_ws(";", col("tier_1")).as("tier_1"),
+          concat_ws(";", col("tier_1b")).as("tier_1b"),
+          concat_ws(";", col("tier_2")).as("tier_2"),
+          concat_ws(";", col("tier_3")).as("tier_3"),
+          col("tier_4"),
+          concat_ws(";", col("ds_tier_1")).as("ds_tier_1"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_top_customers" ->
+      """SELECT c_custkey,
+         round(sum(o_totalprice), 2) AS total_spend,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY total_spend DESC, c_custkey LIMIT 10""",
+    "q03_region_revenue" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q04_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q05_customer_best_order" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price
+         FROM (SELECT *, row_number() OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q06_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "q07_token_stats" ->
+      """SELECT doc_id,
+         length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         n_chars FROM documents ORDER BY doc_id""",
+    "q08_events_props" ->
+      """SELECT event_type,
+         sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+         count(*) AS n,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q09_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM flagged)
+         SELECT user_id, sess_id, count(*) AS n_events
+         FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""")
 }

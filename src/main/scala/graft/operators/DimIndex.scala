@@ -1,0 +1,147 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Nomenclature
+
+/** Precomputed, broadcastable match index over the (filtered,
+  * ct-annotated) evidence dimension.
+  *
+  * The reference's matcher is an O(inputs x civic_variants x strings)
+  * nested loop re-running `civic_match_strings` per input row
+  * (reference: civicutils/match.py:590-638). Here the dimension side is
+  * computed ONCE into an inverted index `match_string -> variant
+  * positions` per gene and data type, then broadcast; per-turn matching
+  * becomes O(keys) hash probes with zero shuffle — the design that
+  * holds at 10^12 turns where the evidence dimension stays
+  * knowledge-base-sized (broadcast-small) while the fact stream scales.
+  *
+  * Consensus drug-support count vectors are also pre-aggregated per
+  * variant here: the reference's majority vote (match.py:1459-1493)
+  * counts leaf evidence items per (drug, ct), which is additive across
+  * matched variants — so the per-turn vote is a sum of precomputed
+  * vectors, again map-only.
+  */
+final case class SupportCounts(pos: Long, neg: Long, unkB: Long, unkD: Long) {
+  def +(o: SupportCounts): SupportCounts =
+    SupportCounts(pos + o.pos, neg + o.neg, unkB + o.unkB, unkD + o.unkD)
+}
+
+final case class GeneDim(
+    varIds: Array[String],
+    varNames: Array[String],
+    isGeneral: Array[Boolean],
+    snvIndex: Map[String, Array[Int]],
+    cnvIndex: Map[String, Array[Int]],
+    exprIndex: Map[String, Array[Int]],
+    exonCnvPositions: Array[Int],
+    snvFallback: Array[Int],
+    cnvFallback: Array[Int],
+    exprFallback: Array[Int],
+    support: Array[Map[(String, String), SupportCounts]])
+
+final case class DimIndex(genes: Map[String, GeneDim]) {
+  def nGenes: Int = genes.size
+  def nVariants: Int = genes.valuesIterator.map(_.varIds.length).sum
+}
+
+object DimIndex {
+
+  /** Build the index from a flat evidence DataFrame (EvidenceRow
+    * schema). `dim` should already be evidence-filtered
+    * (EvidenceFilter); ct annotation/selection happens here because the
+    * support vectors depend on it.
+    */
+  def build(spark: SparkSession, dim: DataFrame, ctCfg: CtConfig,
+            selectCt: Either[String, Seq[String]] = Left("highest")): DimIndex = {
+
+    // variant-level records, ordered by first appearance in the scan
+    val variantRows = dim
+      .groupBy(col("gene_key"), col("var_id"))
+      .agg(first(col("var_name")).as("var_name"),
+        first(col("hgvs")).as("hgvs"),
+        min(col("dim_order")).as("var_order"))
+      .collect()
+
+    // consensus support vectors per variant (PREDICTIVE only,
+    // ct-selected; reference: match.py:1420-1463)
+    val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
+    val clsUdf = udf((d: String, s: String) => Nomenclature.drugSupportClass(d, s))
+    val supportRows = ctSel
+      .filter(col("evidence_type") === "PREDICTIVE")
+      .withColumn("_cls", clsUdf(col("direction"), col("significance")))
+      .groupBy(col("gene_key"), col("var_id"), col("drug"), col("ct"))
+      .agg(
+        count(when(col("_cls") === "POSITIVE", 1)).as("pos"),
+        count(when(col("_cls") === "NEGATIVE", 1)).as("neg"),
+        count(when(col("_cls") === "UNKNOWN_BLANK", 1)).as("unkB"),
+        count(when(col("_cls") === "UNKNOWN_DNS", 1)).as("unkD"))
+      .collect()
+
+    val supByVar = mutable.HashMap.empty[(String, String), mutable.HashMap[(String, String), SupportCounts]]
+    for (r <- supportRows) {
+      val key = (r.getString(0), r.getString(1))
+      val m = supByVar.getOrElseUpdate(key, mutable.HashMap.empty)
+      m((r.getString(2), r.getString(3))) = SupportCounts(
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }
+
+    val byGene = variantRows.groupBy(_.getString(0))
+    val genes = byGene.map { case (gene, rows) =>
+      val ordered = rows.sortBy(_.getLong(4)) // var_order
+      val n = ordered.length
+      val varIds = new Array[String](n)
+      val varNames = new Array[String](n)
+      val isGeneral = new Array[Boolean](n)
+      val snvIdx = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      val cnvIdx = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      val exprIdx = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      val exonCnv = mutable.ArrayBuffer.empty[Int]
+      val snvFb = mutable.ArrayBuffer.empty[Int]
+      val cnvFb = mutable.ArrayBuffer.empty[Int]
+      val exprFb = mutable.ArrayBuffer.empty[Int]
+      val support = new Array[Map[(String, String), SupportCounts]](n)
+
+      for ((r, p) <- ordered.zipWithIndex) {
+        val varId = r.getString(1)
+        val name = r.getString(2).toUpperCase
+        val hgvs = r.getSeq[String](3)
+        varIds(p) = varId
+        varNames(p) = name
+        isGeneral(p) = Nomenclature.checkGeneralVariant(name)
+        support(p) = supByVar.getOrElse((gene, varId),
+          mutable.HashMap.empty).toMap
+
+        // SNV strings: full pipeline (match.py:313-367)
+        for (s <- Nomenclature.civicMatchStrings(name, hgvs, "SNV").distinct)
+          snvIdx.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += p
+        // CNV / EXPR: record name only (match.py:336)
+        cnvIdx.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += p
+        exprIdx.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += p
+        // EXPR exon records also match their expression type
+        // (match.py:720-728)
+        val (isExonExpr, exprType) = Nomenclature.exprIsExonString(name)
+        if (isExonExpr && exprType.nonEmpty)
+          exprIdx.getOrElseUpdate(exprType, mutable.ArrayBuffer.empty) += p
+        // exon-CNV records: positional match for input DELETION
+        // (match.py:627-638)
+        if (Nomenclature.cnvIsExonString(name)) exonCnv += p
+        // record-kind classification for tier-3 fallbacks
+        // (match.py:219-310)
+        val isCnv = Nomenclature.isCnvRecordName(name)
+        val isExpr = Nomenclature.isExprRecordName(name)
+        if (!isCnv && !isExpr) snvFb += p
+        if (isCnv) cnvFb += p
+        if (isExpr) exprFb += p
+      }
+      gene -> GeneDim(varIds, varNames, isGeneral,
+        snvIdx.view.mapValues(_.toArray).toMap,
+        cnvIdx.view.mapValues(_.toArray).toMap,
+        exprIdx.view.mapValues(_.toArray).toMap,
+        exonCnv.toArray, snvFb.toArray, cnvFb.toArray, exprFb.toArray,
+        support)
+    }
+    DimIndex(genes)
+  }
+}
