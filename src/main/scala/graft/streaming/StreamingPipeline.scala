@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.Turn
+import graft.operators.{Annotation, DimIndex, MatchKernel}
+import graft.plans.IcebergLikeTable
+
+/** Structured-streaming wrap of the match pipeline (north rule):
+  * watermark -> stateful dedup -> explicit conv_id-hash repartition ->
+  * map-only broadcast annotation -> (a) per-turn append sink,
+  * (b) watermark-bounded windowed tier rollups, (c) per-conversation
+  * session automaton via flatMapGroupsWithState.
+  *
+  * Determinism contract (BASELINE.json north_star): for the same input
+  * stream and the same watermark, output rows are identical — late rows
+  * beyond the watermark are dropped deterministically, duplicates within
+  * the watermark are dropped by key (conv_id, turn_idx), and all
+  * emitted rows carry explicit ordering keys.
+  */
+object StreamingPipeline {
+
+  final case class StreamConfig(
+      watermark: String = "10 minutes",
+      sessionGapMs: Long = 30 * 60 * 1000L,
+      tierWindow: String = "1 hour",
+      partitions: Int = 32)
+
+  /** Per-conversation session summary emitted by the automaton on
+    * event-time session close (the streaming analog of the reference's
+    * "one input file = one batch" unit, SURVEY.md §2.11).
+    */
+  final case class SessionSummary(
+      conv_id: String,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_turns: Int,
+      n_tier_1: Int, n_tier_1b: Int, n_tier_2: Int, n_tier_3: Int, n_tier_4: Int,
+      top_tier: String)
+
+  /** Bounded per-conversation automaton state: counts only, never the
+    * raw turns — state size is O(1) per conversation regardless of how
+    * hot it is.
+    */
+  final case class ConvState(
+      sessionStart: Long, sessionEnd: Long, nTurns: Int,
+      t1: Int, t1b: Int, t2: Int, t3: Int, t4: Int)
+
+  /** (a) Per-turn annotation stream.
+    *
+    * Operator order matters for watermark plumbing: the stateless
+    * broadcast-map runs FIRST (a typed map would strip the event-time
+    * marker from `ts`, and Spark disallows redefining a watermark after
+    * a stateful operator), then ONE watermark is defined on the
+    * annotated stream and shared by every downstream stateful operator
+    * (dedup, windowed aggregation, session automaton), then the
+    * explicit conv_id-hash repartition places the shuffle
+    * (north rule: explicit conv_id-hash repartitioning).
+    */
+  def annotations(turns: Dataset[Turn], bc: Broadcast[DimIndex],
+                  cfg: StreamConfig): Dataset[Annotation] = {
+    import turns.sparkSession.implicits._
+    turns
+      .map(t => MatchKernel.annotateTurn(t, bc.value)) // map-only, no shuffle
+      .withWatermark("ts", cfg.watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .repartition(cfg.partitions, col("conv_id"))
+      .as[Annotation]
+  }
+
+  /** (b) Watermark-bounded windowed hash-aggregate: per-window
+    * match-tier counts (north rule; reference analog: the per-batch
+    * tier counters, Query_CIViCutils.py:449-459).
+    */
+  def tierRollup(ann: Dataset[Annotation], cfg: StreamConfig): DataFrame =
+    ann.toDF()
+      // the ingest watermark on `ts` propagates through the typed map;
+      // redefining it here is disallowed since Spark 3.5
+      .groupBy(window(col("ts"), cfg.tierWindow),
+        col("data_type"), col("highest_tier"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("data_type"), col("highest_tier"), col("n_turns"))
+
+  /** (c) The tier-resolution session automaton: flatMapGroupsWithState
+    * keyed by conv_id with event-time timeout at session gap past the
+    * newest seen turn. Emits one SessionSummary per closed session.
+    */
+  def sessionAutomaton(ann: Dataset[Annotation], cfg: StreamConfig): Dataset[SessionSummary] = {
+    import ann.sparkSession.implicits._
+
+    def fsm(convId: String, rows: Iterator[Annotation],
+            state: GroupState[ConvState]): Iterator[SessionSummary] = {
+      def summarize(s: ConvState): SessionSummary = {
+        val top =
+          if (s.t1 > 0) "tier_1" else if (s.t1b > 0) "tier_1b"
+          else if (s.t2 > 0) "tier_2" else if (s.t3 > 0) "tier_3" else "tier_4"
+        SessionSummary(convId, new Timestamp(s.sessionStart),
+          new Timestamp(s.sessionEnd), s.nTurns,
+          s.t1, s.t1b, s.t2, s.t3, s.t4, top)
+      }
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(summarize).iterator
+        state.remove()
+        out
+      } else {
+        var s = state.getOption.getOrElse(ConvState(Long.MaxValue, 0L, 0, 0, 0, 0, 0, 0))
+        val closed = Iterator.newBuilder[SessionSummary]
+        for (a <- rows) {
+          val t = a.ts.getTime
+          // gap larger than the session gap within the same group of
+          // buffered rows closes the running session
+          if (s.nTurns > 0 && t > s.sessionEnd + cfg.sessionGapMs) {
+            closed += summarize(s)
+            s = ConvState(Long.MaxValue, 0L, 0, 0, 0, 0, 0, 0)
+          }
+          s = ConvState(
+            math.min(s.sessionStart, t), math.max(s.sessionEnd, t),
+            s.nTurns + 1,
+            s.t1 + (if (a.highest_tier == "tier_1") 1 else 0),
+            s.t1b + (if (a.highest_tier == "tier_1b") 1 else 0),
+            s.t2 + (if (a.highest_tier == "tier_2") 1 else 0),
+            s.t3 + (if (a.highest_tier == "tier_3") 1 else 0),
+            s.t4 + (if (a.highest_tier == "tier_4") 1 else 0))
+        }
+        state.update(s)
+        state.setTimeoutTimestamp(s.sessionEnd + cfg.sessionGapMs)
+        closed.result()
+      }
+    }
+
+    ann.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fsm)
+  }
+
+  /** Start the per-turn annotation sink: exactly-once via checkpoint +
+    * idempotent partition replace keyed (data_type, conv bucket).
+    */
+  def startAnnotationSink(ann: Dataset[Annotation], table: IcebergLikeTable,
+                          checkpoint: String,
+                          nBuckets: Int = 16): StreamingQuery = {
+    ann.toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val withBucket = batch.withColumn("conv_bucket",
+          pmod(hash(col("conv_id")), lit(nBuckets)))
+          .withColumn("tiers_json", to_json(struct(
+            col("tier_1"), col("tier_1b"), col("tier_2"), col("tier_3"))))
+          .drop("tier_1", "tier_1b", "tier_2", "tier_3",
+            "ds_tier_1", "ds_tier_1b", "ds_tier_2", "ds_tier_3")
+        table.replacePartitions(withBucket, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** Metrics listener: appends one JSON line per micro-batch progress
+    * (rows/sec, batch duration, state rows) — the observable metrics
+    * half of "per-partition lineage + metrics".
+    */
+  def attachMetricsListener(spark: org.apache.spark.sql.SparkSession,
+                            outFile: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val line = s"""{"id":"${p.id}","batch":${p.batchId},""" +
+          s""""inputRows":${p.numInputRows},"procRowsPerSec":${p.processedRowsPerSecond},""" +
+          s""""durationMs":${Option(p.durationMs.get("triggerExecution")).getOrElse(0L)}}"""
+        val path = java.nio.file.Paths.get(outFile)
+        java.nio.file.Files.writeString(path, line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    })
+  }
+}

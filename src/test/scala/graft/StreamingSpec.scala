@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Turn
+import graft.plans.IcebergLikeTable
+import graft.sources.Synth
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.StreamConfig
+
+/** Streaming semantics: batch==stream parity, watermark dedup,
+  * session-automaton closure, exactly-once sink idempotency
+  * (SURVEY.md §5.2 item 4).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val bc = Pipeline.buildIndex(spark, nGenes = 12)
+  private val cfg = StreamConfig(watermark = "10 minutes", partitions = 4)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("stream annotations == batch annotations (same input, no dups)") {
+    import spark.implicits._
+    val turnCfg = Synth.TurnGenConfig(nConvs = 12, turnsPerConv = 8, nGenes = 12)
+    val rows = Synth.transcriptRows(turnCfg)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingPipeline.annotations(mem.toDS(), bc, cfg)
+      .writeStream.format("memory").queryName("ann_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows.take(rows.size / 2))
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.size / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ann_out")
+      .select("conv_id", "turn_idx", "gene_key", "highest_tier")
+      .collect().map(_.toString).sorted
+    val want = Pipeline.annotate(spark.createDataset(rows), bc)
+      .select(col("conv_id"), col("turn_idx"), col("gene_key"), col("highest_tier"))
+      .collect().map(_.toString).sorted
+    assert(got.length == rows.size)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("duplicates within watermark are dropped by (conv_id, turn_idx)") {
+    import spark.implicits._
+    val turnCfg = Synth.TurnGenConfig(nConvs = 10, turnsPerConv = 6,
+      nGenes = 12, dupRate = 0.3)
+    val rows = Synth.transcriptRows(turnCfg)
+    val base = turnCfg.nConvs * turnCfg.turnsPerConv
+    assert(rows.size > base, "fixture should contain duplicates")
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingPipeline.annotations(mem.toDS(), bc, cfg)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out").select("conv_id", "turn_idx").collect()
+    assert(got.length == base, s"expected $base deduped rows, got ${got.length}")
+    assert(got.map(_.toString).distinct.length == base)
+  }
+
+  test("session automaton closes sessions on event-time gap") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def turn(conv: String, idx: Int, offMs: Long): Turn =
+      Turn(conv, idx, "assistant", "ENT0001 AMP", "",
+        new java.sql.Timestamp(t0 + offMs))
+    // conv A: two sessions separated by a 2h gap; conv B: watermark pusher
+    val batch1 = Seq(
+      turn("A", 0, 0L), turn("A", 1, 60000L), turn("A", 2, 120000L),
+      turn("A", 3, 2 * 3600 * 1000L), turn("A", 4, 2 * 3600 * 1000L + 60000L))
+    val pusher = Seq(turn("B", 0, 8 * 3600 * 1000L))
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val ann = StreamingPipeline.annotations(mem.toDS(), bc, cfg)
+    val q = StreamingPipeline.sessionAutomaton(ann, cfg)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(pusher)
+    q.processAllAvailable()
+    // one more batch so the watermark from `pusher` takes effect on timeouts
+    mem.addData(Seq(turn("B", 1, 8 * 3600 * 1000L + 1000L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess_out")
+      .filter(col("conv_id") === "A")
+      .select("n_turns").collect().map(_.getInt(0)).sorted.toSeq
+    assert(sessions == Seq(2, 3), s"expected sessions of 3 and 2 turns, got $sessions")
+  }
+
+  test("exactly-once sink: idempotent partition replace + checkpoint resume") {
+    import spark.implicits._
+    val turnCfg = Synth.TurnGenConfig(nConvs = 8, turnsPerConv = 5, nGenes = 12)
+    val rows = Synth.transcriptRows(turnCfg)
+    val srcDir = tmp("src"); val tableDir = tmp("table"); val ckpt = tmp("ckpt")
+    spark.createDataset(rows).write.mode("overwrite").parquet(srcDir)
+
+    val table = new IcebergLikeTable(tableDir, Seq("data_type", "conv_bucket"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.createDataset(rows).schema)
+        .parquet(srcDir).as[Turn]
+      val ann = StreamingPipeline.annotations(stream, bc, cfg)
+      val q = StreamingPipeline.startAnnotationSink(ann, table, ckpt)
+      q.awaitTermination() // AvailableNow terminates when caught up
+    }
+    runOnce()
+    val n1 = spark.read.parquet(tableDir).count()
+    assert(n1 == rows.size.toLong)
+    val snaps1 = table.snapshots()
+    assert(snaps1.nonEmpty)
+
+    // restart with same checkpoint: no new data -> no duplicate rows
+    runOnce()
+    val n2 = spark.read.parquet(tableDir).count()
+    assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
+
+    // replaying an already-committed batch is a no-op
+    val batch = spark.read.parquet(tableDir)
+    table.replacePartitions(batch, snaps1.head)
+    assert(spark.read.parquet(tableDir).count() == n1)
+  }
+
+  test("windowed tier rollup emits finalized windows") {
+    import spark.implicits._
+    val turnCfg = Synth.TurnGenConfig(nConvs = 6, turnsPerConv = 6, nGenes = 12)
+    val rows = Synth.transcriptRows(turnCfg)
+    // watermark pusher: one far-future row finalizes all windows
+    val pusher = Turn("zz", 0, "assistant", "ENT0001 AMP", "",
+      new java.sql.Timestamp(rows.map(_.ts.getTime).max + 48 * 3600 * 1000L))
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val ann = StreamingPipeline.annotations(mem.toDS(), bc, cfg)
+    val q = StreamingPipeline.tierRollup(ann, cfg)
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    mem.addData(Seq(pusher))
+    q.processAllAvailable()
+    q.stop()
+
+    val rollup = spark.table("rollup_out")
+    val total = rollup.agg(sum("n_turns")).collect()(0).getLong(0)
+    assert(total == rows.size.toLong, s"rollup covered $total of ${rows.size} turns")
+    assert(rollup.select("highest_tier").distinct().count() >= 3)
+  }
+}
