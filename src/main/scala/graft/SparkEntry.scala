@@ -119,6 +119,70 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("sess_id"))
     }),
+    // ----- training-data pipeline operators ---------------------------
+    "q10_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("item_id"), col("embedding").as("iv"))
+      val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+        .withColumn("dotq",
+          operators.Similarity.quantizedDot(col("qv"), col("iv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dotq").desc, col("item_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("item_id"), col("dotq"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q11_doc_quality" -> ((s, dir) => {
+      val f = operators.TextOps.qualityFeatures(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: f.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q12_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+    "q13_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q14_minhash_neardup" -> ((s, dir) => {
+      operators.NearDup.minhashNearDups(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q15_simhash_neardup" -> ((s, dir) => {
+      operators.NearDup.simhashNearDups(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q16_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(operators.TextOps.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+    "q17_media_pipeline" -> ((s, _) => {
+      val media = operators.Multimodal.mediaTable(s, 300)
+      val meta = operators.Multimodal.decode(media).toDF()
+      meta.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("n_frames")).as("total_frames"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("kind"))
+    }),
+    "q18_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nBits = 4, nTables = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // ----- engine operators over deterministic fixtures (rows-only) ----
     "q20_match_tier_counts" -> ((s, _) => {
       Pipeline.run(s).groupBy(col("data_type"), col("highest_tier"))
@@ -184,6 +248,45 @@ object SparkEntry {
          count(*) AS n,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q10_ann_quantized" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 20),
+           c AS (SELECT vec_id AS item_id, embedding AS iv FROM embeddings),
+           pairs AS (
+             SELECT query_id, item_id,
+               (SELECT sum(CAST(round(x.qe * 1000) AS BIGINT) *
+                           CAST(round(x.ie * 1000) AS BIGINT))
+                FROM (SELECT unnest(qv) AS qe, unnest(iv) AS ie) x) AS dotq
+             FROM q, c WHERE item_id <> query_id)
+         SELECT query_id, rank, item_id, dotq FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY dotq DESC, item_id) AS rank
+           FROM pairs) WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q11_doc_quality" ->
+      """SELECT doc_id,
+           length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           length(text) AS n_chars_m,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS digit_ratio,
+           round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was'], t))) * 1.0
+             / greatest(length(string_split_regex(trim(lower(text)), '\s+')), 1), 4) AS stopword_ratio,
+           round(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) * 1.0
+             / greatest(length(string_split_regex(trim(lower(text)), '\s+')), 1), 4) AS uniq_ratio,
+           round(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             t -> length(t))) * 1.0
+             / greatest(length(string_split_regex(trim(lower(text)), '\s+')), 1), 4) AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+    "q12_bpe_tokens" ->
+      """SELECT doc_id,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "q13_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
     "q09_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -110,7 +110,9 @@ object StreamingPipeline {
       } else {
         var s = state.getOption.getOrElse(ConvState(Long.MaxValue, 0L, 0, 0, 0, 0, 0, 0))
         val closed = Iterator.newBuilder[SessionSummary]
-        for (a <- rows) {
+        // group iterators carry no ordering guarantee: sort this
+        // micro-batch's rows by event time before gap detection
+        for (a <- rows.toSeq.sortBy(a => (a.ts.getTime, a.turn_idx))) {
           val t = a.ts.getTime
           // gap larger than the session gap within the same group of
           // buffered rows closes the running session

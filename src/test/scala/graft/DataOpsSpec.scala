@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, NearDup, Similarity, TextOps}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing.
+  */
+class DataOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.collection.JavaConverters._
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  // deterministic word-soup corpus with planted near-duplicates
+  private lazy val corpus: Seq[(Long, String)] = {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map { i =>
+      i -> Seq.fill(60)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    // planted near-dups: copy of doc i with one word changed
+    val dups = (0L until 8L).map { i =>
+      val toks = base(i.toInt)._2.split(" ")
+      toks(5) = "CHANGED"
+      (100L + i) -> toks.mkString(" ")
+    }
+    // one exact duplicate
+    base ++ dups :+ (200L -> base(3)._2)
+  }
+
+  test("minhash LSH finds planted near-duplicates with exact-jaccard precision") {
+    val df = docsDf(corpus)
+    val pairs = NearDup.minhashNearDups(df, "doc_id", "text",
+      nShingle = 3, k = 32, bands = 8, threshold = 0.6).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all planted near-dups found (jaccard ~0.9)
+    for (i <- 0L until 8L)
+      assert(found.contains((i, 100L + i)), s"missed planted near-dup $i")
+    // exact duplicate found with jaccard 1.0
+    assert(pairs.exists(r => r.getLong(0) == 3L && r.getLong(1) == 200L &&
+      r.getDouble(2) == 1.0))
+    // precision: verify against brute-force jaccard for every reported pair
+    val sh = df.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (p <- pairs) {
+      val j = sh(p.getLong(0)).intersect(sh(p.getLong(1))).size.toDouble /
+        sh(p.getLong(0)).union(sh(p.getLong(1))).size
+      assert(math.abs(j - p.getDouble(2)) < 1e-3, s"wrong jaccard for $p")
+      assert(j >= 0.6)
+    }
+  }
+
+  test("dedupKeepFirst drops the larger-id member of each near-dup pair") {
+    val df = docsDf(corpus)
+    val pairs = NearDup.minhashNearDups(df, "doc_id", "text", threshold = 0.6)
+    val kept = NearDup.dedupKeepFirst(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (i <- 0L until 8L) {
+      assert(kept.contains(i)); assert(!kept.contains(100L + i))
+    }
+    assert(!kept.contains(200L))
+  }
+
+  test("simhash: identical -> 0 hamming; perturbed -> small hamming; banding finds them") {
+    val df = docsDf(corpus)
+    val sigs = df.select(col("doc_id"), NearDup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(3L) == sigs(200L)) // exact dup -> identical signature
+    for (i <- 0L until 8L) {
+      val d = java.lang.Long.bitCount(sigs(i) ^ sigs(100L + i))
+      assert(d <= 6, s"perturbed doc $i drifted $d bits")
+    }
+    val near = NearDup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((3L, 200L)))
+  }
+
+  test("brute-force cosine top-k matches naive computation") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // naive ground truth
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = for {
+      (qid, qv) <- all.filter(_._1 < 5)
+      scored = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, BigDecimal(cos(qv, v)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      ((id, _), i) <- scored.zipWithIndex
+    } yield (qid, i + 1, id)
+    assert(got == want.toSet)
+  }
+
+  test("LSH ANN achieves usable recall against brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // weakly-clustered synthetic embeddings: use coarse buckets (4 bits
+    // -> ~1/16 corpus per bucket x 8 tables) for usable recall; real
+    // corpora with cluster structure support finer signatures
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nBits = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("quality features and langId behave on handcrafted text") {
+    val df = docsDf(Seq(
+      1L -> "The quick brown fox jumps over the lazy dog and it is fine",
+      2L -> "der hund und die katze sind nicht mit der maus zu hause",
+      3L -> "le chat est dans la maison et il est pour les amis",
+      4L -> "el perro y el gato no son para la casa una vez",
+      5L -> "!!! ??? ### 123 456 789 $$$ %%%"))
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == "en"); assert(got(2L)._1 == "de")
+    assert(got(3L)._1 == "fr"); assert(got(4L)._1 == "es")
+    assert(got(5L)._1 == "und")
+    assert(got(1L)._2 > got(5L)._2, "noise should score below clean text")
+  }
+
+  test("multimodal plumbing: decode, features, frame sampling") {
+    val media = Multimodal.mediaTable(spark, 60)
+    val meta = Multimodal.decode(media).collect()
+    assert(meta.length == 60)
+    assert(meta.forall(m => m.width >= 16 && m.height >= 16))
+    assert(meta.filter(_.kind == "video").forall(_.n_frames >= 1))
+    assert(meta.filter(_.kind != "video").forall(_.n_frames == 1))
+
+    val feats = Multimodal.features(media)
+    assert(feats.count() == 60)
+    assert(feats.select(size(col("embedding"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+
+    val frames = Multimodal.sampleFrames(media, stride = 5)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val videos = meta.filter(_.kind == "video")
+    assert(byId.keySet == videos.map(_.media_id).toSet)
+    for (v <- videos)
+      assert(byId(v.media_id) == (v.n_frames + 4) / 5,
+        s"frame count mismatch for ${v.media_id}")
+
+    // determinism probe: same id -> same blob
+    assert(java.util.Arrays.equals(
+      Multimodal.syntheticBlob(7, "image"), Multimodal.syntheticBlob(7, "image")))
+  }
+}
