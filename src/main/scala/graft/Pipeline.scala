@@ -42,6 +42,17 @@ object Pipeline {
     spark.sparkContext.broadcast(idx)
   }
 
+  // the default index is immutable per (session, nGenes, seed): memoize so
+  // repeated queries in one session don't rebuild + re-broadcast it
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Broadcast[DimIndex]]
+
+  def cachedIndex(spark: SparkSession, nGenes: Int = DefaultGenes,
+                  seed: Long = DefaultSeed): Broadcast[DimIndex] =
+    indexCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, nGenes, seed),
+      buildIndex(spark, nGenes, seed))
+
   /** Map-only batch annotation of a turn Dataset. */
   def annotate(turns: Dataset[Turn], bc: Broadcast[DimIndex]): Dataset[Annotation] =
     MatchKernel.annotate(turns, bc)
@@ -50,7 +61,7 @@ object Pipeline {
   def run(spark: SparkSession,
           cfg: Synth.TurnGenConfig = Synth.TurnGenConfig(
             nConvs = 100, turnsPerConv = 10, nGenes = DefaultGenes)): DataFrame = {
-    val bc = buildIndex(spark, cfg.nGenes)
+    val bc = cachedIndex(spark, cfg.nGenes)
     annotate(Synth.transcripts(spark, cfg), bc).toDF()
   }
 }

@@ -17,17 +17,13 @@ import graft.functions.Nomenclature
   * holds at 10^12 turns where the evidence dimension stays
   * knowledge-base-sized (broadcast-small) while the fact stream scales.
   *
-  * Consensus drug-support count vectors are also pre-aggregated per
-  * variant here: the reference's majority vote (match.py:1459-1493)
-  * counts leaf evidence items per (drug, ct), which is additive across
-  * matched variants — so the per-turn vote is a sum of precomputed
-  * vectors, again map-only.
+  * Consensus drug-support count vectors are pre-aggregated per variant
+  * into flat parallel arrays (`varSupIdx`/`varSupCnt` indexing into the
+  * gene's `drugCtPrefix` table): the reference's majority vote
+  * (match.py:1459-1493) counts leaf evidence items per (drug, ct),
+  * which is additive across matched variants — so the per-turn vote is
+  * a primitive-array sum, allocation-free on the hot path.
   */
-final case class SupportCounts(pos: Long, neg: Long, unkB: Long, unkD: Long) {
-  def +(o: SupportCounts): SupportCounts =
-    SupportCounts(pos + o.pos, neg + o.neg, unkB + o.unkB, unkD + o.unkD)
-}
-
 final case class GeneDim(
     varIds: Array[String],
     varNames: Array[String],
@@ -39,7 +35,14 @@ final case class GeneDim(
     snvFallback: Array[Int],
     cnvFallback: Array[Int],
     exprFallback: Array[Int],
-    support: Array[Map[(String, String), SupportCounts]])
+    /** "DRUG:CT:" prefixes, sorted by (drug, ct rank) — canonical
+      * consensus output order. */
+    drugCtPrefix: Array[String],
+    /** per variant position: indices into drugCtPrefix. */
+    varSupIdx: Array[Array[Int]],
+    /** per variant position: 4 packed counts (pos,neg,unkB,unkD) per
+      * index, flattened. */
+    varSupCnt: Array[Array[Long]])
 
 final case class DimIndex(genes: Map[String, GeneDim]) {
   def nGenes: Int = genes.size
@@ -79,12 +82,13 @@ object DimIndex {
         count(when(col("_cls") === "UNKNOWN_DNS", 1)).as("unkD"))
       .collect()
 
-    val supByVar = mutable.HashMap.empty[(String, String), mutable.HashMap[(String, String), SupportCounts]]
+    // (gene, var) -> (drug, ct) -> counts
+    val supByVar = mutable.HashMap.empty[(String, String), mutable.HashMap[(String, String), Array[Long]]]
     for (r <- supportRows) {
       val key = (r.getString(0), r.getString(1))
       val m = supByVar.getOrElseUpdate(key, mutable.HashMap.empty)
-      m((r.getString(2), r.getString(3))) = SupportCounts(
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      m((r.getString(2), r.getString(3))) =
+        Array(r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
     }
 
     val byGene = variantRows.groupBy(_.getString(0))
@@ -101,7 +105,20 @@ object DimIndex {
       val snvFb = mutable.ArrayBuffer.empty[Int]
       val cnvFb = mutable.ArrayBuffer.empty[Int]
       val exprFb = mutable.ArrayBuffer.empty[Int]
-      val support = new Array[Map[(String, String), SupportCounts]](n)
+
+      // gene-level (drug, ct) vocabulary in canonical order
+      val geneDrugCts = mutable.SortedSet.empty[(String, Int, String)](
+        Ordering.Tuple3(Ordering.String, Ordering.Int, Ordering.String))
+      for ((r, _) <- ordered.zipWithIndex;
+           m <- supByVar.get((gene, r.getString(1)));
+           (drug, ct) <- m.keys)
+        geneDrugCts += ((drug, graft.model.Cts.rank(ct), ct))
+      val drugCtList = geneDrugCts.toArray
+      val drugCtIndex = drugCtList.zipWithIndex
+        .map { case ((d, _, c), i) => (d, c) -> i }.toMap
+      val drugCtPrefix = drugCtList.map { case (d, _, c) => s"$d:${c.toUpperCase}:" }
+      val varSupIdx = new Array[Array[Int]](n)
+      val varSupCnt = new Array[Array[Long]](n)
 
       for ((r, p) <- ordered.zipWithIndex) {
         val varId = r.getString(1)
@@ -110,8 +127,12 @@ object DimIndex {
         varIds(p) = varId
         varNames(p) = name
         isGeneral(p) = Nomenclature.checkGeneralVariant(name)
-        support(p) = supByVar.getOrElse((gene, varId),
-          mutable.HashMap.empty).toMap
+
+        val sup = supByVar.getOrElse((gene, varId), mutable.HashMap.empty)
+        val entries = sup.toArray.map { case ((d, c), cnt) => (drugCtIndex((d, c)), cnt) }
+          .sortBy(_._1)
+        varSupIdx(p) = entries.map(_._1)
+        varSupCnt(p) = entries.flatMap(_._2)
 
         // SNV strings: full pipeline (match.py:313-367)
         for (s <- Nomenclature.civicMatchStrings(name, hgvs, "SNV").distinct)
@@ -140,7 +161,7 @@ object DimIndex {
         cnvIdx.view.mapValues(_.toArray).toMap,
         exprIdx.view.mapValues(_.toArray).toMap,
         exonCnv.toArray, snvFb.toArray, cnvFb.toArray, exprFb.toArray,
-        support)
+        drugCtPrefix, varSupIdx, varSupCnt)
     }
     DimIndex(genes)
   }

@@ -113,78 +113,146 @@ object MatchKernel {
         Annotation(t.conv_id, t.turn_idx, t.role, t.ts, p.geneKey, p.dataType,
           Nil, Nil, Nil, Nil, tier_4 = true, "tier_4", Nil, Nil, Nil, Nil)
       case Some(gd) =>
-        var t1 = mutable.SortedSet.empty[Int]
-        var t1b = mutable.SortedSet.empty[Int]
-        var t2 = mutable.SortedSet.empty[Int]
+        // per-variant tier membership as bit flags (bit0=t1, bit1=t1b,
+        // bit2=t2) -- one small int array per row instead of tree sets
+        // (the kernel is the hot path at 10^12 turns: allocation-free
+        // accumulation keeps 32 cores out of GC contention)
+        val nVars = gd.varIds.length
+        val flags = new Array[Int](nVars)
+        @inline def mark(ps: Array[Int], bit: Int): Unit = {
+          var i = 0; while (i < ps.length) { flags(ps(i)) |= bit; i += 1 }
+        }
         p.dataType match {
           case "SNV" =>
-            for (k <- keys; ps <- gd.snvIndex.get(k.s); pos <- ps) {
-              if (k.isExact) { if (k.isTrueExact) t1 += pos else t1b += pos }
-              else t2 += pos
-            }
+            for (k <- keys; ps <- gd.snvIndex.get(k.s))
+              mark(ps, if (k.isExact) { if (k.isTrueExact) 1 else 2 } else 4)
           case "CNV" =>
             for (k <- keys) {
-              gd.cnvIndex.get(k.s).foreach(ps => ps.foreach(t1 += _))
+              gd.cnvIndex.get(k.s).foreach(mark(_, 1))
               // input DELETION also positionally matches exon-CNV
               // records (match.py:627-638)
-              if (k.s == "DELETION") gd.exonCnvPositions.foreach(t2 += _)
+              if (k.s == "DELETION") mark(gd.exonCnvPositions, 4)
             }
           case _ =>
-            for (k <- keys; ps <- gd.exprIndex.get(k.s); pos <- ps) t1 += pos
+            for (k <- keys; ps <- gd.exprIndex.get(k.s)) mark(ps, 1)
         }
         // general-variant promotion: first (scan-order) general bucket
         // wins the positional tier (match.py:644-652)
-        if (p.dataType == "SNV" && t2.nonEmpty)
-          t2.find(gd.isGeneral).foreach(g => t2 = mutable.SortedSet(g))
+        if (p.dataType == "SNV") {
+          var firstGeneral = -1
+          var i = 0
+          while (i < nVars && firstGeneral < 0) {
+            if ((flags(i) & 4) != 0 && gd.isGeneral(i)) firstGeneral = i
+            i += 1
+          }
+          if (firstGeneral >= 0) {
+            i = 0
+            while (i < nVars) { if (i != firstGeneral) flags(i) &= ~4; i += 1 }
+          }
+        }
+        var any1 = false; var any1b = false; var any2 = false
+        locally {
+          var i = 0
+          while (i < nVars) {
+            val f = flags(i)
+            any1 ||= (f & 1) != 0; any1b ||= (f & 2) != 0; any2 ||= (f & 4) != 0
+            i += 1
+          }
+        }
 
-        var t3: List[Int] = Nil
-        var t3Sentinel: Option[String] = None
-        if (t1.isEmpty && t1b.isEmpty && t2.isEmpty) {
+        var t3: Array[Int] = Array.emptyIntArray
+        var t3Sentinel: String = null
+        if (!any1 && !any1b && !any2) {
           val fb = p.dataType match {
             case "SNV" => gd.snvFallback
             case "CNV" => gd.cnvFallback
             case _ => gd.exprFallback
           }
-          if (fb.nonEmpty) t3 = fb.toList
-          else t3Sentinel = Some(s"NON_${p.dataType}_MATCH_ONLY")
+          if (fb.nonEmpty) t3 = fb
+          else t3Sentinel = s"NON_${p.dataType}_MATCH_ONLY"
         }
 
-        // NOTE: iterate explicitly — .map on a SortedSet through the
-        // Iterable interface would rebuild into an unordered HashSet
-        def ids(ps: Iterable[Int]): Seq[String] =
-          ps.iterator.map(gd.varIds).toList
-        def support(ps: Iterable[Int]): Seq[String] =
-          if (ps.isEmpty) Nil
-          else {
-            val acc = mutable.HashMap.empty[(String, String), SupportCounts]
-            for (pos <- ps; ((drug, ct), c) <- gd.support(pos))
-              acc((drug, ct)) = acc.getOrElse((drug, ct),
-                SupportCounts(0, 0, 0, 0)) + c
-            acc.toSeq
-              .sortBy { case ((drug, ct), _) =>
-                (drug, graft.model.Cts.rank(ct)) }
-              .map { case ((drug, ct), c) =>
-                s"$drug:${ct.toUpperCase}:" +
-                  Nomenclature.consensus(c.pos, c.neg, c.unkB, c.unkD) }
+        def idsOf(bit: Int): Seq[String] = {
+          val out = List.newBuilder[String]
+          var i = 0
+          while (i < nVars) { if ((flags(i) & bit) != 0) out += gd.varIds(i); i += 1 }
+          out.result()
+        }
+        def idsArr(ps: Array[Int]): Seq[String] = {
+          val out = List.newBuilder[String]
+          var i = 0
+          while (i < ps.length) { out += gd.varIds(ps(i)); i += 1 }
+          out.result()
+        }
+        // consensus vote: flat-array accumulation over the per-variant
+        // precomputed count vectors (match.py:1459-1493), canonical
+        // (drug, ct) output order
+        def supportWhere(member: Int => Boolean): Seq[String] = {
+          val nDc = gd.drugCtPrefix.length
+          if (nDc == 0) return Nil
+          var acc: Array[Long] = null
+          var i = 0
+          while (i < nVars) {
+            if (member(i)) {
+              val idxs = gd.varSupIdx(i)
+              if (idxs.length > 0) {
+                if (acc == null) acc = new Array[Long](4 * nDc)
+                val cnts = gd.varSupCnt(i)
+                var j = 0
+                while (j < idxs.length) {
+                  val o = 4 * idxs(j); val co = 4 * j
+                  acc(o) += cnts(co); acc(o + 1) += cnts(co + 1)
+                  acc(o + 2) += cnts(co + 2); acc(o + 3) += cnts(co + 3)
+                  j += 1
+                }
+              }
+            }
+            i += 1
           }
+          if (acc == null) return Nil
+          val out = List.newBuilder[String]
+          var j = 0
+          while (j < nDc) {
+            val o = 4 * j
+            if (acc(o) + acc(o + 1) + acc(o + 2) + acc(o + 3) > 0)
+              out += gd.drugCtPrefix(j) +
+                Nomenclature.consensus(acc(o), acc(o + 1), acc(o + 2), acc(o + 3))
+            j += 1
+          }
+          out.result()
+        }
 
-        val tier3Ids = t3Sentinel.map(Seq(_)).getOrElse(ids(t3))
-        val tier4 = t1.isEmpty && t1b.isEmpty && t2.isEmpty &&
-          tier3Ids.isEmpty
+        val tier3Ids: Seq[String] =
+          if (t3Sentinel != null) List(t3Sentinel) else idsArr(t3)
+        val tier4 = !any1 && !any1b && !any2 && tier3Ids.isEmpty
         val highest =
-          if (t1.nonEmpty) "tier_1" else if (t1b.nonEmpty) "tier_1b"
-          else if (t2.nonEmpty) "tier_2" else if (tier3Ids.nonEmpty) "tier_3"
+          if (any1) "tier_1" else if (any1b) "tier_1b"
+          else if (any2) "tier_2" else if (tier3Ids.nonEmpty) "tier_3"
           else "tier_4"
+        val t3Flags = new Array[Boolean](nVars)
+        locally { var i = 0; while (i < t3.length) { t3Flags(t3(i)) = true; i += 1 } }
         Annotation(t.conv_id, t.turn_idx, t.role, t.ts, p.geneKey, p.dataType,
-          ids(t1), ids(t1b), ids(t2), tier3Ids, tier4, highest,
-          support(t1), support(t1b), support(t2),
-          if (t3Sentinel.isDefined) Nil else support(t3))
+          idsOf(1), idsOf(2), idsOf(4), tier3Ids, tier4, highest,
+          supportWhere(i => (flags(i) & 1) != 0),
+          supportWhere(i => (flags(i) & 2) != 0),
+          supportWhere(i => (flags(i) & 4) != 0),
+          if (t3Sentinel != null || t3.isEmpty) Nil
+          else supportWhere(i => t3Flags(i)))
     }
   }
 
-  /** Distributed map-only annotation over a typed turn Dataset. */
+  /** Distributed map-only annotation over a typed turn Dataset.
+    * The broadcast is dereferenced ONCE per partition: `bc.value` holds
+    * the index behind a SoftReference, and per-row derefs can trigger
+    * repeated synchronized re-reads under GC pressure, serializing all
+    * cores (observed: kernel throughput capped at ~2.8M rows/s at 32
+    * cores until hoisted).
+    */
   def annotate(turns: Dataset[Turn], bc: Broadcast[DimIndex]): Dataset[Annotation] = {
     import turns.sparkSession.implicits._
-    turns.map(t => annotateTurn(t, bc.value))
+    turns.mapPartitions { it =>
+      val idx = bc.value
+      it.map(t => annotateTurn(t, idx))
+    }
   }
 }

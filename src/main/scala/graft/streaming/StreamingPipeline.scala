@@ -64,7 +64,10 @@ object StreamingPipeline {
                   cfg: StreamConfig): Dataset[Annotation] = {
     import turns.sparkSession.implicits._
     turns
-      .map(t => MatchKernel.annotateTurn(t, bc.value)) // map-only, no shuffle
+      .mapPartitions { it => // map-only, no shuffle; broadcast deref hoisted
+        val idx = bc.value
+        it.map(t => MatchKernel.annotateTurn(t, idx))
+      }
       .withWatermark("ts", cfg.watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
       .repartition(cfg.partitions, col("conv_id"))
