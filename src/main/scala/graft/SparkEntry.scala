@@ -189,6 +189,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("data_type"), col("highest_tier"))
     }),
+    "q22_tier_select_highest" -> ((s, _) => {
+      import s.implicits._
+      operators.TierSelect(Pipeline.run(s).as[operators.Annotation], Left("highest"))
+        .toDF()
+        .groupBy(col("highest_tier")).agg(count(lit(1)).as("n"))
+        .orderBy(col("highest_tier"))
+    }),
+    "q23_output_table" -> ((s, _) => {
+      import s.implicits._
+      val dim = sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF()
+      val filtered = operators.EvidenceFilter(dim, Pipeline.defaultFilter)
+      val renders = operators.OutputAssembly.buildRenders(s, filtered, Pipeline.defaultCt)
+      operators.OutputAssembly.writeMatchTable(
+        Pipeline.run(s).as[operators.Annotation], renders)
+        .orderBy(col("conv_id"), col("turn_idx"), col("tier"))
+    }),
+    "q24_drug_targets" -> ((s, _) => {
+      import s.implicits._
+      val dim = sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF()
+      val filtered = operators.EvidenceFilter(dim, Pipeline.defaultFilter)
+      val ctSel = operators.CtClassifier.select(
+        operators.CtClassifier.annotate(filtered, Pipeline.defaultCt), Left("highest"))
+      val collected = ctSel
+        .select(struct(filtered.columns.map(col): _*).as("_1"), col("ct").as("_2"))
+        .as[(model.EvidenceRow, String)].collect()
+      val pred = s.sparkContext.broadcast(operators.Reports.buildPredEntries(collected))
+      val names = operators.Reports.buildNameMap(s, filtered)
+      operators.Reports.drugTargets(
+        Pipeline.run(s).as[operators.Annotation], pred, names)
+    }),
     "q21_annotations" -> ((s, _) => {
       Pipeline.run(s)
         .select(col("conv_id"), col("turn_idx"), col("gene_key"),

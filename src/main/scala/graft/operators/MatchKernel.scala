@@ -34,7 +34,34 @@ final case class Annotation(
     ds_tier_1: Seq[String],
     ds_tier_1b: Seq[String],
     ds_tier_2: Seq[String],
-    ds_tier_3: Seq[String])
+    ds_tier_3: Seq[String]) {
+
+  /** Keep only the named tiers; tier_4 recomputed when everything kept
+    * is empty (reference: filter_match, match.py:972-1012).
+    */
+  def keepTiers(keep: Set[String]): Annotation = {
+    val t1 = if (keep("tier_1")) tier_1 else Nil
+    val t1b = if (keep("tier_1b")) tier_1b else Nil
+    val t2 = if (keep("tier_2")) tier_2 else Nil
+    val t3 = if (keep("tier_3")) tier_3 else Nil
+    val t4 = t1.isEmpty && t1b.isEmpty && t2.isEmpty && t3.isEmpty
+    val highest =
+      if (t1.nonEmpty) "tier_1" else if (t1b.nonEmpty) "tier_1b"
+      else if (t2.nonEmpty) "tier_2" else if (t3.nonEmpty) "tier_3" else "tier_4"
+    copy(
+      tier_1 = t1, tier_1b = t1b, tier_2 = t2, tier_3 = t3, tier_4 = t4,
+      highest_tier = highest,
+      ds_tier_1 = if (keep("tier_1")) ds_tier_1 else Nil,
+      ds_tier_1b = if (keep("tier_1b")) ds_tier_1b else Nil,
+      ds_tier_2 = if (keep("tier_2")) ds_tier_2 else Nil,
+      ds_tier_3 = if (keep("tier_3")) ds_tier_3 else Nil)
+  }
+
+  /** "highest" selection: keep only the first non-empty tier
+    * (reference: match.py:981-990).
+    */
+  def highestTierOnly: Annotation = keepTiers(Set(highest_tier))
+}
 
 object MatchKernel {
 

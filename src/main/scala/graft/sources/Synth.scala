@@ -174,6 +174,22 @@ object Synth {
     spark.createDataset(evidenceRows(nGenes, seed))
   }
 
+  /** Gene alias table (analog of CIViC gene aliases, query.py:54-65):
+    * every gene has a deterministic "ALT<g>" alias, every third gene an
+    * additional legacy symbol.
+    */
+  def aliasRows(nGenes: Int): Seq[(String, String)] =
+    (0 until nGenes).flatMap { g =>
+      val gene = geneName(g.toLong)
+      Seq(gene -> f"ALT$g%04d") ++
+        (if (g % 3 == 0) Seq(gene -> f"LEGACY$g%04d") else Nil)
+    }
+
+  def aliasTable(spark: SparkSession, nGenes: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    aliasRows(nGenes).toDF("gene_key", "alias")
+  }
+
   // ---------------------------------------------------------------------
   // Transcript fact table (BASELINE.json input_hint)
   // ---------------------------------------------------------------------

@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reference-format TSV ingestion — the reader family S1-S3/S10
+  * (reference: civicutils/read_and_write.py:84-273;
+  * tcga_analysis/scripts/Query_CIViCutils.py:63-181) re-expressed as
+  * Spark scans.
+  *
+  * Header resolution is by NAME with required/optional columns and
+  * pass-through extras, as in the reference. The reference's
+  * truthiness-on-position bug (a column at position 0 is treated as
+  * absent, read_and_write.py:102-116) is NOT replicated — it is
+  * unreachable for well-formed headers and positional truthiness is a
+  * Python accident, not a format rule.
+  *
+  * `n_line` (the reference's only ordering token) is materialized
+  * explicitly with a window over a monotonic file order; at scale one
+  * would carry an explicit line-id column instead.
+  */
+object TsvReader {
+
+  private def withLineNumbers(df: DataFrame): DataFrame = {
+    // deterministic 0-based body line number (reference n_line)
+    val w = Window.orderBy(monotonically_increasing_id())
+    df.withColumn("n_line", (row_number().over(w) - 1).cast("long"))
+  }
+
+  private def readTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** S1: SNV reader. Required: gene/dna/prot; optional impact/exon;
+    * extra columns carried through in an `extras` array. Emits the
+    * reference's encoded variant key for parity-visible joins.
+    */
+  def readSnvs(spark: SparkSession, path: String,
+               geneName: String = "Gene",
+               dnaName: String = "Variant_dna",
+               protName: String = "Variant_prot",
+               impactName: String = "Variant_impact",
+               exonName: String = "Variant_exon"): DataFrame = {
+    val raw = readTsv(spark, path)
+    val cols = raw.columns
+    for (c <- Seq(geneName, dnaName, protName))
+      require(cols.contains(c), s"Required column '$c' could not be found in header")
+    val hasImpact = cols.contains(impactName)
+    val hasExon = cols.contains(exonName)
+    val extraCols = cols.filterNot(c =>
+      c == geneName || c == dnaName || c == protName ||
+      (hasImpact && c == impactName) || (hasExon && c == exonName))
+    withLineNumbers(raw)
+      .select(
+        col(geneName).as("gene"),
+        col(dnaName).as("dna"),
+        col(protName).as("prot"),
+        (if (hasImpact) col(impactName) else lit("")).as("impact"),
+        (if (hasExon) col(exonName) else lit("")).as("exon"),
+        col("n_line"),
+        array(extraCols.map(col): _*).as("extras"))
+      .withColumn("variant_key", concat_ws("|",
+        col("dna"), col("prot"), col("impact"), col("exon"), col("n_line")))
+      .withColumn("data_type", lit("SNV"))
+  }
+
+  /** S2: CNV reader (required gene + cnv). */
+  def readCnvs(spark: SparkSession, path: String,
+               geneName: String = "Gene",
+               cnvName: String = "Variant_cnv"): DataFrame = {
+    val raw = readTsv(spark, path)
+    for (c <- Seq(geneName, cnvName))
+      require(raw.columns.contains(c), s"Required column '$c' could not be found in header")
+    val extraCols = raw.columns.filterNot(c => c == geneName || c == cnvName)
+    withLineNumbers(raw)
+      .select(col(geneName).as("gene"), col(cnvName).as("cnv"), col("n_line"),
+        array(extraCols.map(col): _*).as("extras"))
+      .withColumn("variant_key", concat_ws("|", col("cnv"), col("n_line")))
+      .withColumn("data_type", lit("CNV"))
+  }
+
+  /** S3: EXPR reader (required gene + logFC, logFC must be numeric and
+    * non-zero — validated downstream as in the reference).
+    */
+  def readExpr(spark: SparkSession, path: String,
+               geneName: String = "Gene",
+               logfcName: String = "logFC"): DataFrame = {
+    val raw = readTsv(spark, path)
+    for (c <- Seq(geneName, logfcName))
+      require(raw.columns.contains(c), s"Required column '$c' could not be found in header")
+    val extraCols = raw.columns.filterNot(c => c == geneName || c == logfcName)
+    withLineNumbers(raw)
+      .select(col(geneName).as("gene"),
+        col(logfcName).cast("double").as("logfc"), col("n_line"),
+        array(extraCols.map(col): _*).as("extras"))
+      .withColumn("variant_key", concat_ws("|", col("logfc"), col("n_line")))
+      .withColumn("data_type", lit("EXPR"))
+  }
+
+  /** S10: TCGA-style multi-annotation SNV cells:
+    * variant column "GENE:c.X|p.Y;GENE2:c.Z|p.W;...", impact column
+    * "GENE:imp;GENE2:imp2", exon column "GENE:c.X|p.Y:exon;..." — one
+    * output row per annotation, with 1-1 positional correspondence
+    * enforced (arrays_zip fails rows where lengths differ) and
+    * non-c. annotations dropped (Query_CIViCutils.py:124-126).
+    * `annot_idx` preserves the within-line annotation order for the
+    * per-line prioritization (W3).
+    */
+  def readSnvsMultiAnnotation(spark: SparkSession, path: String,
+                              geneVarCol: String, impactCol: String,
+                              exonCol: String): DataFrame = {
+    val raw = withLineNumbers(readTsv(spark, path))
+    val vs = split(col(geneVarCol), ";")
+    val is = split(col(impactCol), ";")
+    val es = split(col(exonCol), ";")
+    val base = raw
+      .withColumn("_nv", size(vs))
+      .withColumn("_ok", size(vs) === size(is) && size(vs) === size(es))
+    // 1-1 correspondence is a hard error in the reference
+    // (Query_CIViCutils.py:85-87)
+    val zipped = base
+      .withColumn("_z", when(col("_ok"),
+        arrays_zip(vs, is, es)).otherwise(
+          raise_error(lit("Encountered different number of available annotations"))))
+      .select(col("n_line"), posexplode(col("_z")).as(Seq("annot_idx", "a")))
+      .select(col("n_line"), col("annot_idx"),
+        col("a").getField("0").as("v"),
+        col("a").getField("1").as("i"),
+        col("a").getField("2").as("e"))
+    zipped
+      .withColumn("gene", trim(split(col("v"), ":").getItem(0)))
+      .withColumn("hgvs", trim(split(col("v"), ":").getItem(1)))
+      .withColumn("dna", trim(split(col("hgvs"), "\\|").getItem(0)))
+      .withColumn("prot", trim(split(col("hgvs"), "\\|").getItem(1)))
+      .withColumn("impact", trim(split(col("i"), ":").getItem(1)))
+      .withColumn("exon", coalesce(trim(split(col("e"), ":").getItem(2)), lit("")))
+      // skip annotations without a valid c.HGVS (e.g. n.HGVS)
+      .filter(lower(col("dna")).startsWith("c."))
+      .withColumn("variant_key", concat_ws("|",
+        col("dna"), col("prot"), col("impact"), col("exon"), col("n_line")))
+      .select("n_line", "annot_idx", "gene", "dna", "prot", "impact",
+        "exon", "variant_key")
+      .withColumn("data_type", lit("SNV"))
+  }
+
+  /** Convert reader output into kernel `Turn`s so TSV-file inputs run
+    * through the same annotate pipeline as transcript streams — the
+    * "one input file = one batch conversation" mapping (SURVEY.md §1.4).
+    */
+  def toTurns(df: DataFrame, convId: String): DataFrame = {
+    val payload = df.columns match {
+      case c if c.contains("dna") =>
+        concat_ws("|", col("dna"), coalesce(col("prot"), lit("")),
+          coalesce(col("impact"), lit("")), coalesce(col("exon"), lit("")))
+      case c if c.contains("cnv") => col("cnv")
+      case _ => col("logfc").cast("string")
+    }
+    val role = df.columns match {
+      case c if c.contains("dna") => lit("user")
+      case c if c.contains("cnv") => lit("assistant")
+      case _ => lit("tool")
+    }
+    df.select(
+      lit(convId).as("conv_id"),
+      col("n_line").cast("int").as("turn_idx"),
+      role.as("role"),
+      concat(col("gene"), lit(" "), payload).as("text"),
+      lit("").as("tool"),
+      expr("timestamp'2023-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, n_line)")
+        .as("ts"))
+  }
+}
