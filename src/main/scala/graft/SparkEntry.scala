@@ -183,7 +183,46 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, nBits = 4, nTables = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q26_segment_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      // anti join: customers with no large order, counted per segment
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_without"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q27_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("revenue"), col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
     // ----- engine operators over deterministic fixtures (rows-only) ----
+    "q25_pstart_sql" -> ((s, _) => {
+      // native Catalyst expression exercised through its SQL surface
+      plans.GraftFunctions.register(s)
+      val turns = sources.Synth.transcripts(s,
+        sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+          nGenes = Pipeline.DefaultGenes))
+      turns.toDF().filter(col("role") === "user")
+        .withColumn("prot", split(split(col("text"), "\\|").getItem(1), ",").getItem(0))
+        .createOrReplaceTempView("snv_turns")
+      s.sql("""SELECT p_start(prot) AS p_start, count(*) AS n
+               FROM snv_turns WHERE p_start(prot) IS NOT NULL
+               GROUP BY 1 ORDER BY 1""")
+    }),
+    "q28_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q20_match_tier_counts" -> ((s, _) => {
       Pipeline.run(s).groupBy(col("data_type"), col("highest_tier"))
         .agg(count(lit(1)).as("n"))
@@ -278,6 +317,19 @@ object SparkEntry {
          count(*) AS n,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q26_segment_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_without
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         GROUP BY 1 ORDER BY 1""",
+    "q27_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
     "q10_ann_quantized" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                     FROM embeddings WHERE vec_id < 20),

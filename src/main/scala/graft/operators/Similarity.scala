@@ -55,6 +55,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus
+    * into cells; queries probe the `nProbe` nearest cells and re-rank
+    * candidates exactly. The 100 TB scale path: the corpus is bucketed
+    * once (map + small centroid broadcast), queries touch
+    * nProbe/nCentroids of the data, and nothing ever cross-joins.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nCentroids: Int = 16,
+              nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = corpus.withColumn("features", toVec(col(vecCol)))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(10).fit(feat)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    def dist2(a: Seq[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val assignUdf = udf((a: Seq[Float]) =>
+      centers.indices.minBy(i => dist2(a, centers(i))))
+    val probeUdf = udf((a: Seq[Float]) =>
+      centers.indices.sortBy(i => dist2(a, centers(i))).take(nProbe))
+
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+      .withColumn("cell", assignUdf(col("item_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("cell", explode(probeUdf(col("query_vec"))))
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("item_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "item_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id"))
+    cand.withColumn("cos", round(cosine(col("item_vec"), col("query_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where the
     * hyperplane h_j is a deterministic pseudo-random +-1 vector derived
     * from (j, slot index) hashes — no stored planes, reproducible

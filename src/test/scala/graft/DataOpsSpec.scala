@@ -133,6 +133,18 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN beats LSH recall at similar probe cost") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("quality features and langId behave on handcrafted text") {
     val df = docsDf(Seq(
       1L -> "The quick brown fox jumps over the lazy dog and it is fine",
