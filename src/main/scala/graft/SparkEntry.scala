@@ -217,6 +217,16 @@ object SparkEntry {
                FROM snv_turns WHERE p_start(prot) IS NOT NULL
                GROUP BY 1 ORDER BY 1""")
     }),
+    "q29_conv_tier_pivot" -> ((s, _) => {
+      // A7 cohort stats: per-conversation tier distribution via pivot
+      Pipeline.run(s)
+        .groupBy(col("conv_id"))
+        .pivot("highest_tier",
+          Seq("tier_1", "tier_1b", "tier_2", "tier_3", "tier_4"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("conv_id"))
+    }),
     "q28_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),

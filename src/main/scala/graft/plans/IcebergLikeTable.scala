@@ -35,6 +35,15 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
   /** Idempotently replace the partitions present in `df`. Safe to call
     * again with the same batchId (no-op) or after a partial failure
     * (dynamic overwrite re-replaces the same partitions).
+    *
+    * Physical partitioning is (partitionCols..., _batch_id): a dynamic
+    * partition overwrite is only exactly-once when every physical
+    * partition is owned by exactly one micro-batch — without the batch
+    * id, a later batch touching the same (data_type, bucket) would
+    * clobber earlier batches' rows. Including the batch id makes a
+    * replay rewrite ONLY its own partitions (idempotent) while new
+    * batches strictly add partitions, which is exactly Iceberg's
+    * append-snapshot semantics.
     */
   def replacePartitions(df: DataFrame, batchId: Long): Unit = {
     if (committed(batchId)) return // replayed micro-batch: already durable
@@ -52,9 +61,10 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     if (counts.isEmpty) return // empty micro-batch: nothing to commit
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    df.withColumn("_batch_id", lit(batchId))
+      .write
       .mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*)
+      .partitionBy(partitionCols :+ "_batch_id": _*)
       .parquet(root)
 
     // snapshot commit: write manifest to a temp file, atomic rename

@@ -143,6 +143,17 @@ class StreamingSpec extends AnyFunSuite {
     val batch = spark.read.parquet(tableDir)
     table.replacePartitions(batch, snaps1.head)
     assert(spark.read.parquet(tableDir).count() == n1)
+
+    // incremental resume: NEW source rows after restart are processed
+    // exactly once on top of the old table state
+    val moreCfg = turnCfg.copy(nConvs = 3, baseTs = turnCfg.baseTs + 86400000L)
+    val more = Synth.transcriptRows(moreCfg)
+      .map(t => t.copy(conv_id = "late_" + t.conv_id))
+    spark.createDataset(more).write.mode("append").parquet(srcDir)
+    runOnce()
+    val n3 = spark.read.parquet(tableDir).count()
+    assert(n3 == n1 + more.size,
+      s"incremental resume wrong: $n1 + ${more.size} != $n3")
   }
 
   test("windowed tier rollup emits finalized windows") {
