@@ -160,7 +160,7 @@ object SparkEntry {
     }),
     "q15_simhash_neardup" -> ((s, dir) => {
       operators.NearDup.simhashNearDups(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q16_langid" -> ((s, dir) => {
