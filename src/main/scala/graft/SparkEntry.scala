@@ -227,6 +227,31 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("conv_id"))
     }),
+    "q30_session_rollup" -> ((s, _) => {
+      import s.implicits._
+      val ann = Pipeline.run(s).as[operators.Annotation]
+      streaming.StreamingPipeline.sessionRollup(ann,
+        streaming.StreamingPipeline.StreamConfig())
+        .orderBy(col("conv_id"), col("session_start"))
+    }),
+    "q31_versioned_dim" -> ((s, _) => {
+      import s.implicits._
+      val epoch0 = 1700000000000L
+      val epoch1 = epoch0 + 50L * 3600000L // v2 cuts in mid-stream
+      val bc = operators.VersionedDim.build(s, Seq(
+        epoch0 -> sources.Synth.evidenceDim(s, 20, Pipeline.DefaultSeed).toDF(),
+        epoch1 -> sources.Synth.evidenceDim(s, Pipeline.DefaultGenes,
+          Pipeline.DefaultSeed).toDF()), Pipeline.defaultCt)
+      val turns = sources.Synth.transcripts(s,
+        sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+          nGenes = Pipeline.DefaultGenes, baseTs = epoch0))
+      operators.VersionedDim.annotate(turns, bc).toDF()
+        .withColumn("epoch", when(col("ts") < to_timestamp(lit(
+          new java.sql.Timestamp(epoch1))), "v1").otherwise("v2"))
+        .groupBy(col("epoch"), col("highest_tier"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("epoch"), col("highest_tier"))
+    }),
     "q28_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),

@@ -89,6 +89,36 @@ object StreamingPipeline {
         col("window.end").as("window_end"),
         col("data_type"), col("highest_tier"), col("n_turns"))
 
+  /** (b') Sliding-window variant of the rollup (north star: tumbling
+    * AND sliding windows): each turn contributes to window/slide
+    * overlapping windows.
+    */
+  def tierRollupSliding(ann: Dataset[Annotation], cfg: StreamConfig,
+                        slide: String): DataFrame =
+    ann.toDF()
+      .groupBy(window(col("ts"), cfg.tierWindow, slide),
+        col("data_type"), col("highest_tier"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("data_type"), col("highest_tier"), col("n_turns"))
+
+  /** (c') Built-in session-window rollup per conversation — the
+    * declarative counterpart of the flatMapGroupsWithState automaton
+    * (gap-based `session_window`, north star "session windows (gap on
+    * ts)"). The automaton remains the stateful path (custom state,
+    * emission control); this one feeds SQL-shaped consumers.
+    */
+  def sessionRollup(ann: Dataset[Annotation], cfg: StreamConfig): DataFrame =
+    ann.toDF()
+      .groupBy(session_window(col("ts"), s"${cfg.sessionGapMs / 1000} seconds"),
+        col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        count(when(col("highest_tier") === "tier_1", 1)).as("n_tier_1"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("conv_id"), col("n_turns"), col("n_tier_1"))
+
   /** (c) The tier-resolution session automaton: flatMapGroupsWithState
     * keyed by conv_id with event-time timeout at session gap past the
     * newest seen turn. Emits one SessionSummary per closed session.
