@@ -74,6 +74,10 @@ object MatchKernel {
       variants: List[String], impacts: List[String], exons: List[String],
       logfc: Double)
 
+  // String.split("\\|") has no single-char fastpath (escaped regex
+  // meta) and would Pattern.compile per row on the hot path
+  private val PipeSplit = java.util.regex.Pattern.compile("\\|")
+
   def roleToDataType(role: String): String = role match {
     case "user" => "SNV"
     case "assistant" => "CNV"
@@ -92,7 +96,7 @@ object MatchKernel {
     val payload = t.text.substring(sp + 1)
     roleToDataType(t.role) match {
       case "SNV" =>
-        val f = payload.split("\\|", -1)
+        val f = PipeSplit.split(payload, -1)
         require(f.length >= 4,
           "Must provide at least 4 fields to describe a SNV variant")
         val cVars = Nomenclature.parseInput(f(0), isRequired = true)

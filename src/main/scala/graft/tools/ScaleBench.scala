@@ -96,8 +96,15 @@ object ScaleBench {
       (best, rows)
     }
 
-    val (t8, rows8) = measure(8)
-    val (t32, rows32) = measure(32)
+    // interleave levels (8,32,8,32) and take the per-level best: this
+    // sandbox shows large cross-run variance (shared virtualization),
+    // which interleaving exposes to both levels equally
+    var t8 = Double.MaxValue; var t32 = Double.MaxValue
+    var rows8 = 0L; var rows32 = 0L
+    for (_ <- 1 to 2) {
+      val (a, ra) = measure(8); t8 = math.min(t8, a); rows8 = ra
+      val (b, rb) = measure(32); t32 = math.min(t32, b); rows32 = rb
+    }
     require(rows8 == rows32, s"row mismatch across levels: $rows8 vs $rows32")
     val thr8 = rows8 / t8
     val thr32 = rows32 / t32
