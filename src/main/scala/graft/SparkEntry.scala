@@ -227,6 +227,22 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("conv_id"))
     }),
+    "q19_sql_interface" -> ((s, _) => {
+      // the engine's output is a plain relation: full Spark SQL over it
+      Pipeline.run(s).createOrReplaceTempView("annotations")
+      s.sql("""
+        SELECT conv_id,
+               count(*) AS n_turns,
+               sum(CASE WHEN highest_tier = 'tier_1' THEN 1 ELSE 0 END) AS n_t1,
+               max(size(tier_1)) AS max_t1_matches,
+               first(highest_tier) AS first_tier
+        FROM (SELECT * FROM annotations
+              ORDER BY conv_id, turn_idx)
+        GROUP BY conv_id
+        HAVING n_t1 > 0
+        ORDER BY conv_id
+        LIMIT 50""")
+    }),
     "q30_session_rollup" -> ((s, _) => {
       import s.implicits._
       val ann = Pipeline.run(s).as[operators.Annotation]
