@@ -161,6 +161,15 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(5L)._2, "noise should score below clean text")
   }
 
+  test("documentStats facade joins all text features per doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stats = TextOps.documentStats(docs)
+    assert(stats.count() == docs.count())
+    val cols = stats.columns.toSet
+    for (c <- Seq("n_tokens", "quality", "lang_pred", "fp_md5", "n_bpe_tokens"))
+      assert(cols.contains(c), s"missing $c")
+  }
+
   test("multimodal plumbing: decode, features, frame sampling") {
     val media = Multimodal.mediaTable(spark, 60)
     val meta = Multimodal.decode(media).collect()
