@@ -65,6 +65,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1).getAs[String]("gene") == "G2" && got(1).getAs[String]("dna") == "c.2T>C")
   }
 
+  test("S1->M: TSV file input flows through toTurns into the kernel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tsv2turn").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/snv.tsv"),
+      "Gene\tVariant_dna\tVariant_prot\tVariant_impact\tVariant_exon\n" +
+        "ENT0004\tc.1799T>A\tp.Val600Glu\tmissense_variant\t15/18\n" + // profile-4 gene: V600E present
+
+        "NOPE\tc.1A>G\tp.Lys1Glu\tmissense_variant\t1/2\n")
+    val turns = TsvReader.toTurns(
+      TsvReader.readSnvs(spark, s"$dir/snv.tsv"), convId = "file-snv")
+      .as[Turn]
+    // unfiltered index: the default TCGA evidence filter can (correctly)
+    // drop a variant whose every evidence row fails it
+    val bcAll = Pipeline.buildIndex(spark, nGenes = 12,
+      filter = operators.FilterConfig())
+    val got = Pipeline.annotate(turns, bcAll).collect()
+      .map(a => a.turn_idx -> a.highest_tier).toMap
+    assert(got(0) == "tier_1")   // V600E exact match in the dimension
+    assert(got(1) == "tier_4")   // unknown gene
+  }
+
   test("F5/F6: tier selection all/highest/list with tier_4 recompute") {
     import spark.implicits._
     val rows = ann(turnCfg).collect().toSeq
