@@ -18,6 +18,88 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Placeholder in `oracleSql` for the Verify dump directory; Verify
+    * substitutes the absolute `<outDir>/_rel` path when it serializes
+    * oracle_sql.json, after writing every `relationDumps` relation
+    * there. This is what makes the engine-specific queries (annotation
+    * pipeline, LSH/IVF candidates, simhash signatures) hard-oracle-
+    * checkable: DuckDB re-derives the query result from the dumped
+    * relation and must agree bit-for-bit.
+    */
+  val RelToken = "__GRAFT_REL__"
+  private def rel(name: String): String =
+    s"read_parquet('$RelToken/$name/*.parquet')"
+
+  // ----- shared relation builders (used by queries AND Verify dumps) ---
+
+  /** Decoded media metadata (q17 base). */
+  def mediaMeta(s: SparkSession): DataFrame =
+    operators.Multimodal.decode(operators.Multimodal.mediaTable(s, 300)).toDF()
+
+  /** Event-time-versioned dimension annotation (q31 base). */
+  def versionedAnn(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val epoch0 = 1700000000000L
+    val epoch1 = epoch0 + 50L * 3600000L // v2 cuts in mid-stream
+    val bc = operators.VersionedDim.build(s, Seq(
+      epoch0 -> sources.Synth.evidenceDim(s, 20, Pipeline.DefaultSeed).toDF(),
+      epoch1 -> sources.Synth.evidenceDim(s, Pipeline.DefaultGenes,
+        Pipeline.DefaultSeed).toDF()), Pipeline.defaultCt)
+    val turns = sources.Synth.transcripts(s,
+      sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+        nGenes = Pipeline.DefaultGenes, baseTs = epoch0))
+    operators.VersionedDim.annotate(turns, bc).toDF()
+      .withColumn("epoch", when(col("ts") < to_timestamp(lit(
+        new java.sql.Timestamp(epoch1))), "v1").otherwise("v2"))
+  }
+
+  /** SNV protein strings from the synthetic transcripts (q25 base). */
+  def snvProts(s: SparkSession): DataFrame = {
+    val turns = sources.Synth.transcripts(s,
+      sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+        nGenes = Pipeline.DefaultGenes))
+    turns.toDF().filter(col("role") === "user")
+      .withColumn("prot",
+        split(split(col("text"), "\\|").getItem(1), ",").getItem(0))
+      .select(col("conv_id"), col("turn_idx"), col("prot"))
+  }
+
+  // IVF candidates are memoized + persisted per (session, sfDir):
+  // distributed k-means float sums are not bit-stable across re-runs,
+  // so the Verify dump and q28 MUST consume the same materialization.
+  private val ivfCandCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def ivfCand(s: SparkSession, dir: String): DataFrame =
+    ivfCandCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfCandidates(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", nCentroids = 16, nProbe = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** LSH candidates with q18's parameters (pure-hash deterministic —
+    * dump and query recompute identical rows).
+    */
+  def lshCand(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.lshCandidates(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", nBits = 4, nTables = 8)
+  }
+
+  /** Relations Verify writes to `<outDir>/_rel/<name>` so the oracle
+    * SQL can query engine-produced inputs cross-engine.
+    */
+  def relationDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "annotations" -> ((s, _) => Pipeline.run(s)),
+    "doc_simhash" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), operators.NearDup.simhash64(col("text")).as("sig"))),
+    "media_meta" -> ((s, _) => mediaMeta(s)),
+    "versioned_ann" -> ((s, _) => versionedAnn(s)
+      .select(col("conv_id"), col("turn_idx"), col("epoch"), col("highest_tier"))),
+    "snv_prots" -> ((s, _) => snvProts(s)),
+    "lsh_cand" -> ((s, dir) => lshCand(s, dir).select(col("query_id"), col("item_id"))),
+    "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))))
+
   /** Flagship: full match->annotate pipeline over synthesized
     * transcripts (driver smoke-checks rows>0).
     */
@@ -154,8 +236,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q14_minhash_neardup" -> ((s, dir) => {
+      // k=64/bands=32 (r=2): P(candidate | J=0.5) = 1-(1-0.25)^32 ≈
+      // 0.9999 — recall-1-in-practice at the tested scales, so the
+      // exact-Jaccard DuckDB oracle must agree; false candidates are
+      // killed by the exact verification pass.
       operators.NearDup.minhashNearDups(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 64, bands = 32, threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q15_simhash_neardup" -> ((s, dir) => {
@@ -170,17 +257,13 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
     "q17_media_pipeline" -> ((s, _) => {
-      val media = operators.Multimodal.mediaTable(s, 300)
-      val meta = operators.Multimodal.decode(media).toDF()
-      meta.groupBy(col("kind"))
+      mediaMeta(s).groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), sum(col("n_frames")).as("total_frames"),
           sum(col("n_bytes")).as("total_bytes"))
         .orderBy(col("kind"))
     }),
     "q18_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 10, nBits = 4, nTables = 8)
+      operators.Similarity.rerankTopK(lshCand(s, dir), 10)
         .orderBy(col("query_id"), col("rank"))
     }),
     "q26_segment_no_orders" -> ((s, dir) => {
@@ -207,12 +290,7 @@ object SparkEntry {
     "q25_pstart_sql" -> ((s, _) => {
       // native Catalyst expression exercised through its SQL surface
       plans.GraftFunctions.register(s)
-      val turns = sources.Synth.transcripts(s,
-        sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
-          nGenes = Pipeline.DefaultGenes))
-      turns.toDF().filter(col("role") === "user")
-        .withColumn("prot", split(split(col("text"), "\\|").getItem(1), ",").getItem(0))
-        .createOrReplaceTempView("snv_turns")
+      snvProts(s).createOrReplaceTempView("snv_turns")
       s.sql("""SELECT p_start(prot) AS p_start, count(*) AS n
                FROM snv_turns WHERE p_start(prot) IS NOT NULL
                GROUP BY 1 ORDER BY 1""")
@@ -228,16 +306,18 @@ object SparkEntry {
         .orderBy(col("conv_id"))
     }),
     "q19_sql_interface" -> ((s, _) => {
-      // the engine's output is a plain relation: full Spark SQL over it
+      // the engine's output is a plain relation: full Spark SQL over it.
+      // min_by (not first-over-sorted-subquery) keeps the result
+      // deterministic under any partitioning, and avoids a pointless
+      // global sort of the whole annotation relation.
       Pipeline.run(s).createOrReplaceTempView("annotations")
       s.sql("""
         SELECT conv_id,
                count(*) AS n_turns,
                sum(CASE WHEN highest_tier = 'tier_1' THEN 1 ELSE 0 END) AS n_t1,
                max(size(tier_1)) AS max_t1_matches,
-               first(highest_tier) AS first_tier
-        FROM (SELECT * FROM annotations
-              ORDER BY conv_id, turn_idx)
+               min_by(highest_tier, turn_idx) AS first_tier
+        FROM annotations
         GROUP BY conv_id
         HAVING n_t1 > 0
         ORDER BY conv_id
@@ -251,27 +331,13 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("session_start"))
     }),
     "q31_versioned_dim" -> ((s, _) => {
-      import s.implicits._
-      val epoch0 = 1700000000000L
-      val epoch1 = epoch0 + 50L * 3600000L // v2 cuts in mid-stream
-      val bc = operators.VersionedDim.build(s, Seq(
-        epoch0 -> sources.Synth.evidenceDim(s, 20, Pipeline.DefaultSeed).toDF(),
-        epoch1 -> sources.Synth.evidenceDim(s, Pipeline.DefaultGenes,
-          Pipeline.DefaultSeed).toDF()), Pipeline.defaultCt)
-      val turns = sources.Synth.transcripts(s,
-        sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
-          nGenes = Pipeline.DefaultGenes, baseTs = epoch0))
-      operators.VersionedDim.annotate(turns, bc).toDF()
-        .withColumn("epoch", when(col("ts") < to_timestamp(lit(
-          new java.sql.Timestamp(epoch1))), "v1").otherwise("v2"))
+      versionedAnn(s)
         .groupBy(col("epoch"), col("highest_tier"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("epoch"), col("highest_tier"))
     }),
     "q28_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      operators.Similarity.rerankTopK(ivfCand(s, dir), 10)
         .orderBy(col("query_id"), col("rank"))
     }),
     "q20_match_tier_counts" -> ((s, _) => {
@@ -364,7 +430,7 @@ object SparkEntry {
          n_chars FROM documents ORDER BY doc_id""",
     "q08_events_props" ->
       """SELECT event_type,
-         sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS n,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
@@ -387,8 +453,8 @@ object SparkEntry {
            c AS (SELECT vec_id AS item_id, embedding AS iv FROM embeddings),
            pairs AS (
              SELECT query_id, item_id,
-               (SELECT sum(CAST(round(x.qe * 1000) AS BIGINT) *
-                           CAST(round(x.ie * 1000) AS BIGINT))
+               (SELECT CAST(sum(CAST(round(x.qe * 1000) AS BIGINT) *
+                                CAST(round(x.ie * 1000) AS BIGINT)) AS BIGINT)
                 FROM (SELECT unnest(qv) AS qe, unnest(iv) AS ie) x) AS dotq
              FROM q, c WHERE item_id <> query_id)
          SELECT query_id, rank, item_id, dotq FROM (
@@ -420,6 +486,167 @@ object SparkEntry {
       """SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    // ----- engine queries: DuckDB re-derives the result from the -------
+    // ----- Verify-dumped relations (see relationDumps) -----------------
+    "q14_minhash_neardup" ->
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE jaccard >= 0.5 ORDER BY 1, 2""",
+    "q15_simhash_neardup" ->
+      s"""WITH s AS (SELECT doc_id, sig FROM ${rel("doc_simhash")})
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY 1, 2""",
+    "q16_langid" ->
+      """WITH tok AS (SELECT
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sc AS (SELECT
+           len(list_filter(toks, t -> list_contains(
+             ['der','die','das','und','ist','nicht','von','mit','ein','zu'], t))) AS s_de,
+           len(list_filter(toks, t -> list_contains(
+             ['the','and','of','to','in','is','that','for','with','it'], t))) AS s_en,
+           len(list_filter(toks, t -> list_contains(
+             ['el','la','los','y','es','no','por','para','una','que'], t))) AS s_es,
+           len(list_filter(toks, t -> list_contains(
+             ['le','la','les','et','est','pas','pour','dans','une','que'], t))) AS s_fr
+           FROM tok),
+         lang AS (SELECT CASE
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+             ELSE 'und' END AS lang_pred
+           FROM sc)
+         SELECT lang_pred, count(*) AS n FROM lang GROUP BY 1 ORDER BY 1""",
+    "q17_media_pipeline" ->
+      s"""SELECT kind, count(*) AS n,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+         FROM ${rel("media_meta")} GROUP BY 1 ORDER BY 1""",
+    "q18_ann_lsh" ->
+      s"""WITH cand AS (SELECT * FROM ${rel("lsh_cand")}),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         scored AS (
+           SELECT c.query_id, c.item_id,
+             round(
+               CAST((SELECT CAST(sum(CAST(round(x.qe * 1000) AS BIGINT) *
+                                     CAST(round(x.ie * 1000) AS BIGINT)) AS BIGINT)
+                     FROM (SELECT unnest(q.embedding) AS qe,
+                                  unnest(i.embedding) AS ie) x) AS DOUBLE)
+               / sqrt(CAST(
+                   (SELECT CAST(sum(CAST(round(x.qe * 1000) AS BIGINT) *
+                                     CAST(round(x.qe * 1000) AS BIGINT)) AS BIGINT)
+                    FROM (SELECT unnest(q.embedding) AS qe) x) *
+                   (SELECT CAST(sum(CAST(round(x.ie * 1000) AS BIGINT) *
+                                     CAST(round(x.ie * 1000) AS BIGINT)) AS BIGINT)
+                    FROM (SELECT unnest(i.embedding) AS ie) x) AS DOUBLE)), 6) AS cos
+           FROM cand c
+           JOIN e q ON q.vec_id = c.query_id
+           JOIN e i ON i.vec_id = c.item_id)
+         SELECT query_id, rank, item_id, cos FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+           FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q28_ann_ivf" ->
+      s"""WITH cand AS (SELECT * FROM ${rel("ivf_cand")}),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         scored AS (
+           SELECT c.query_id, c.item_id,
+             round(
+               CAST((SELECT CAST(sum(CAST(round(x.qe * 1000) AS BIGINT) *
+                                     CAST(round(x.ie * 1000) AS BIGINT)) AS BIGINT)
+                     FROM (SELECT unnest(q.embedding) AS qe,
+                                  unnest(i.embedding) AS ie) x) AS DOUBLE)
+               / sqrt(CAST(
+                   (SELECT CAST(sum(CAST(round(x.qe * 1000) AS BIGINT) *
+                                     CAST(round(x.qe * 1000) AS BIGINT)) AS BIGINT)
+                    FROM (SELECT unnest(q.embedding) AS qe) x) *
+                   (SELECT CAST(sum(CAST(round(x.ie * 1000) AS BIGINT) *
+                                     CAST(round(x.ie * 1000) AS BIGINT)) AS BIGINT)
+                    FROM (SELECT unnest(i.embedding) AS ie) x) AS DOUBLE)), 6) AS cos
+           FROM cand c
+           JOIN e q ON q.vec_id = c.query_id
+           JOIN e i ON i.vec_id = c.item_id)
+         SELECT query_id, rank, item_id, cos FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+           FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q19_sql_interface" ->
+      s"""SELECT conv_id,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN highest_tier = 'tier_1' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_t1,
+           max(len(tier_1)) AS max_t1_matches,
+           min_by(highest_tier, turn_idx) AS first_tier
+         FROM ${rel("annotations")}
+         GROUP BY conv_id
+         HAVING n_t1 > 0
+         ORDER BY conv_id
+         LIMIT 50""",
+    "q20_match_tier_counts" ->
+      s"""SELECT data_type, highest_tier, count(*) AS n
+         FROM ${rel("annotations")} GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q21_annotations" ->
+      s"""SELECT conv_id, turn_idx, gene_key, data_type, highest_tier,
+           coalesce(array_to_string(tier_1, ';'), '') AS tier_1,
+           coalesce(array_to_string(tier_1b, ';'), '') AS tier_1b,
+           coalesce(array_to_string(tier_2, ';'), '') AS tier_2,
+           coalesce(array_to_string(tier_3, ';'), '') AS tier_3,
+           tier_4,
+           coalesce(array_to_string(ds_tier_1, ';'), '') AS ds_tier_1
+         FROM ${rel("annotations")} ORDER BY conv_id, turn_idx""",
+    "q22_tier_select_highest" ->
+      s"""SELECT highest_tier, count(*) AS n
+         FROM ${rel("annotations")} GROUP BY 1 ORDER BY 1""",
+    "q25_pstart_sql" ->
+      s"""SELECT regexp_extract(upper(prot), '^(P\\.[A-Z]+[0-9]+)', 1) AS p_start,
+           count(*) AS n
+         FROM ${rel("snv_prots")}
+         WHERE prot IS NOT NULL
+           AND regexp_matches(upper(prot), '^P\\.[A-Z]+[0-9]+')
+         GROUP BY 1 ORDER BY 1""",
+    "q29_conv_tier_pivot" ->
+      s"""SELECT conv_id,
+           count(*) FILTER (WHERE highest_tier = 'tier_1') AS tier_1,
+           count(*) FILTER (WHERE highest_tier = 'tier_1b') AS tier_1b,
+           count(*) FILTER (WHERE highest_tier = 'tier_2') AS tier_2,
+           count(*) FILTER (WHERE highest_tier = 'tier_3') AS tier_3,
+           count(*) FILTER (WHERE highest_tier = 'tier_4') AS tier_4
+         FROM ${rel("annotations")} GROUP BY conv_id ORDER BY conv_id""",
+    "q30_session_rollup" ->
+      s"""WITH a AS (SELECT conv_id, ts, highest_tier
+             FROM ${rel("annotations")}),
+         f AS (SELECT conv_id, ts, highest_tier,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+             THEN 1 ELSE 0 END AS new_s
+           FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+         s AS (SELECT conv_id, ts, highest_tier,
+             sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f)
+         SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           conv_id, count(*) AS n_turns,
+           count(*) FILTER (WHERE highest_tier = 'tier_1') AS n_tier_1
+         FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_start""",
+    "q31_versioned_dim" ->
+      s"""SELECT epoch, highest_tier, count(*) AS n
+         FROM ${rel("versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
     "q09_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
@@ -430,8 +657,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS sess_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
            FROM flagged)
          SELECT user_id, sess_id, count(*) AS n_events
          FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""")

@@ -15,6 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // engine-produced relations FIRST: oracle SQL reads them back via
+    // read_parquet, and q28 must see the same (session-cached) IVF
+    // candidates the dump materialized
+    val relDir = new java.io.File(outDir, "_rel").getAbsolutePath
+    SparkEntry.relationDumps.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$relDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dump $name failed: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +46,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(SparkEntry.RelToken, relDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

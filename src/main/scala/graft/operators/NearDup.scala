@@ -35,13 +35,22 @@ object NearDup {
   /** Candidate near-duplicate pairs via MinHash LSH, verified with
     * exact Jaccard over the shingle sets. Returns (doc_a, doc_b,
     * jaccard) with doc_a < doc_b, jaccard >= threshold.
+    *
+    * The shingle relation is consumed three times (band side + both
+    * verify sides): it is persisted so signatures are computed in ONE
+    * pass over the corpus. Buckets larger than `maxBucket` are dropped
+    * before the self-join — a degenerate bucket (boilerplate band key
+    * shared by 10^6 docs) would otherwise explode quadratically; pairs
+    * lost to a capped bucket are still found via their other bands.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       nShingle: Int = 3, k: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.7,
+                      maxBucket: Int = 10000): DataFrame = {
     val rows = k / bands
     val withSh = docs
       .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // banded keys carry ONLY (doc, band, bucket): the shingle arrays
     // never ride through the band shuffle or the candidate dedup —
     // payload-light shuffles are what survive a 100x scale-up
@@ -49,8 +58,15 @@ object NearDup {
       .select(col("doc"),
         explode(bandKeys(minhashSignature(col("sh"), k), bands, rows)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bucket"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    // partial-aggregated counts (never materializes a bucket's members);
+    // the join back is on the same key, so AQE co-plans the exchanges
+    val okBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") > 1)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(okBuckets, Seq("band", "bucket"))
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

@@ -39,6 +39,30 @@ object Similarity {
         round(y.cast("double") * scale).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Quantized cosine: qdot / sqrt(qnorm2_a * qnorm2_b), all integer
+    * until the final sqrt+divide. Because the integer parts are exact
+    * and IEEE sqrt/divide are correctly rounded, this is BIT-IDENTICAL
+    * across engines (float-sum cosine is summation-order-dependent) —
+    * the property the DuckDB oracle needs. Quantization error is
+    * ~1e-3 relative at scale=1000; fine for ANN ranking.
+    */
+  def quantizedCosine(a: Column, b: Column, scale: Int = 1000): Column =
+    quantizedDot(a, b, scale).cast("double") /
+      sqrt((quantizedDot(a, a, scale) * quantizedDot(b, b, scale)).cast("double"))
+
+  /** Exact per-query top-k re-rank of a candidate set
+    * (query_id, item_id, query_vec, item_vec) by quantized cosine.
+    * One shuffle on query_id for the window rank.
+    */
+  def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id"))
+    cand.withColumn("cos", round(quantizedCosine(col("query_vec"), col("item_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+  }
+
   /** Exact cosine top-k: broadcast the query set, score map-side,
     * per-query top-k via window rank.
     */
@@ -55,20 +79,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
 
-  /** IVF (inverted-file) ANN: k-means centroids partition the corpus
-    * into cells; queries probe the `nProbe` nearest cells and re-rank
-    * candidates exactly. The 100 TB scale path: the corpus is bucketed
-    * once (map + small centroid broadcast), queries touch
-    * nProbe/nCentroids of the data, and nothing ever cross-joins.
+  /** IVF (inverted-file) ANN candidate generation: k-means centroids
+    * partition the corpus into cells; queries probe the `nProbe`
+    * nearest cells. The 100 TB scale path: the model is fit on a
+    * BOUNDED SAMPLE (`maxFitRows`, never the full corpus), assignment
+    * is a map over the corpus with a small centroid broadcast, queries
+    * touch nProbe/nCentroids of the data, and nothing ever
+    * cross-joins. Returns (query_id, query_vec, item_id, item_vec).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int = 10, nCentroids: Int = 16,
-              nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, nCentroids: Int = 16, nProbe: Int = 4,
+                    seed: Long = 7L, maxFitRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = corpus.withColumn("features", toVec(col(vecCol)))
+    // fit on a capped sample: k-means quality needs only a sketch of the
+    // density, and a full-corpus fit is a non-starter at 10^12 rows
+    val n = corpus.count()
+    val fitInput =
+      if (n > maxFitRows) corpus.sample(withReplacement = false,
+        maxFitRows.toDouble / n, seed)
+      else corpus
+    val feat = fitInput.withColumn("features", toVec(col(vecCol)))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(10).fit(feat)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
@@ -87,16 +120,18 @@ object Similarity {
       .withColumn("cell", assignUdf(col("item_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .withColumn("cell", explode(probeUdf(col("query_vec"))))
-    val cand = c.join(broadcast(q), Seq("cell"))
+    c.join(broadcast(q), Seq("cell"))
       .filter(col("item_id") =!= col("query_id"))
       .dropDuplicates("query_id", "item_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("item_id"))
-    cand.withColumn("cos", round(cosine(col("item_vec"), col("query_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
   }
+
+  /** IVF ANN top-k: candidates + exact quantized-cosine re-rank. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nCentroids: Int = 16,
+              nProbe: Int = 4, seed: Long = 7L): DataFrame =
+    rerankTopK(
+      ivfCandidates(corpus, queries, idCol, vecCol, nCentroids, nProbe, seed), k)
 
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where the
     * hyperplane h_j is a deterministic pseudo-random +-1 vector derived
@@ -115,13 +150,14 @@ object Similarity {
       when(s > 0, shiftleft(lit(1), j)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: candidates = pairs sharing a signature in >=1 of
-    * `nTables` independent hash tables; exact cosine re-ranking on the
-    * candidate set only.
+  /** LSH-bucketed ANN candidates: pairs sharing a signature in >=1 of
+    * `nTables` independent hash tables. Fully deterministic (pure hash
+    * planes), so repeated invocations in one session agree — the
+    * property the Verify dump/oracle pair relies on.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int = 10, nBits: Int = 12,
-              nTables: Int = 4): DataFrame = {
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, nBits: Int = 12,
+                    nTables: Int = 4): DataFrame = {
     def sigs(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         explode(array((0 until nTables).map { t =>
@@ -131,16 +167,18 @@ object Similarity {
         .select(col(id), col(vec), col("ts.table"), col("ts.sig"))
     val c = sigs(corpus, "item_id", "item_vec")
     val q = sigs(queries, "query_id", "query_vec")
-    val cand = c.join(q,
+    c.join(q,
         c("table") === q("table") && c("sig") === q("sig") &&
         col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
       .dropDuplicates("query_id", "item_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("item_id"))
-    cand.withColumn("cos", round(cosine(col("item_vec"), col("query_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
+
+  /** LSH ANN top-k: candidates + exact quantized-cosine re-rank on the
+    * candidate set only.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nBits: Int = 12,
+              nTables: Int = 4): DataFrame =
+    rerankTopK(lshCandidates(corpus, queries, idCol, vecCol, nBits, nTables), k)
 }
