@@ -98,7 +98,9 @@ object SparkEntry {
       .select(col("conv_id"), col("turn_idx"), col("epoch"), col("highest_tier"))),
     "snv_prots" -> ((s, _) => snvProts(s)),
     "lsh_cand" -> ((s, dir) => lshCand(s, dir).select(col("query_id"), col("item_id"))),
-    "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))))
+    "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))),
+    "dim_raw" -> ((s, _) =>
+      sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()))
 
   /** Flagship: full match->annotate pipeline over synthesized
     * transcripts (driver smoke-checks rows>0).
@@ -375,6 +377,18 @@ object SparkEntry {
       operators.Reports.drugTargets(
         Pipeline.run(s).as[operators.Annotation], pred, names)
     }),
+    "q32_reformat_drugs" -> ((s, _) => {
+      // S5 dimension ETL: raw multi-drug leaves -> one drug per row
+      operators.ReformatCivic.reshapeDrugs(
+        sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF())
+        .select(col("gene_key"), col("var_id"), col("evidence_type"),
+          col("disease"), col("drug"), col("level"), col("source_id"))
+        .orderBy(col("gene_key"), col("var_id"), col("source_id"), col("drug"))
+    }),
+    "q33_cohort_stats" -> ((s, _) => {
+      operators.CohortStats.perConversation(Pipeline.run(s))
+        .orderBy(col("conv_id"))
+    }),
     "q21_annotations" -> ((s, _) => {
       Pipeline.run(s)
         .select(col("conv_id"), col("turn_idx"), col("gene_key"),
@@ -647,6 +661,91 @@ object SparkEntry {
     "q31_versioned_dim" ->
       s"""SELECT epoch, highest_tier, count(*) AS n
          FROM ${rel("versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q32_reformat_drugs" ->
+      s"""WITH raw AS (SELECT * FROM ${rel("dim_raw")}),
+         norm AS (SELECT gene_key, var_id, evidence_type, disease, level,
+             source_id, drug_interaction,
+             list_distinct(list_transform(drugs, d -> upper(trim(d)))) AS ddr,
+             upper(trim(drug_interaction)) AS inter
+           FROM raw),
+         resh AS (SELECT *, CASE
+             WHEN drug_interaction IS NULL THEN ddr
+             WHEN inter = 'SUBSTITUTES' THEN ddr
+             ELSE [coalesce(array_to_string(list_sort(ddr), '+'), '')] END AS d2
+           FROM norm),
+         fin AS (SELECT *, CASE WHEN d2 IS NULL OR len(d2) = 0
+             THEN ['NULL'] ELSE d2 END AS d3 FROM resh)
+         SELECT gene_key, var_id, evidence_type, disease,
+           unnest(d3) AS drug, level, source_id
+         FROM fin ORDER BY gene_key, var_id, source_id, drug""",
+    "q33_cohort_stats" ->
+      s"""WITH a AS (SELECT * FROM ${rel("annotations")}),
+         base AS (SELECT conv_id,
+             count(*) AS n_turns,
+             CAST(sum(CASE WHEN highest_tier = 'tier_1' THEN 1 ELSE 0 END) AS BIGINT) AS n_tier_1,
+             CAST(sum(CASE WHEN highest_tier = 'tier_1b' THEN 1 ELSE 0 END) AS BIGINT) AS n_tier_1b,
+             CAST(sum(CASE WHEN highest_tier = 'tier_2' THEN 1 ELSE 0 END) AS BIGINT) AS n_tier_2,
+             CAST(sum(CASE WHEN highest_tier = 'tier_3' THEN 1 ELSE 0 END) AS BIGINT) AS n_tier_3,
+             CAST(sum(CASE WHEN highest_tier = 'tier_4' THEN 1 ELSE 0 END) AS BIGINT) AS n_tier_4,
+             round(CAST(sum(CASE WHEN highest_tier <> 'tier_4' THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS frac_civic,
+             CASE WHEN sum(CASE WHEN highest_tier = 'tier_1' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(sum(CASE WHEN highest_tier = 'tier_1' THEN len(tier_1) ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN highest_tier = 'tier_1' THEN 1 ELSE 0 END), 4)
+               ELSE 0.0 END AS mean_matched_tier1,
+             CASE WHEN sum(CASE WHEN highest_tier = 'tier_1b' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(sum(CASE WHEN highest_tier = 'tier_1b' THEN len(tier_1b) ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN highest_tier = 'tier_1b' THEN 1 ELSE 0 END), 4)
+               ELSE 0.0 END AS mean_matched_tier1b,
+             CASE WHEN sum(CASE WHEN highest_tier = 'tier_2' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(sum(CASE WHEN highest_tier = 'tier_2' THEN len(tier_2) ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN highest_tier = 'tier_2' THEN 1 ELSE 0 END), 4)
+               ELSE 0.0 END AS mean_matched_tier2,
+             CASE WHEN sum(CASE WHEN highest_tier = 'tier_3' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(sum(CASE WHEN highest_tier = 'tier_3' THEN len(tier_3) ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN highest_tier = 'tier_3' THEN 1 ELSE 0 END), 4)
+               ELSE 0.0 END AS mean_matched_tier3
+           FROM a GROUP BY conv_id),
+         ds AS (SELECT conv_id,
+             unnest(CASE highest_tier
+               WHEN 'tier_1' THEN ds_tier_1 WHEN 'tier_1b' THEN ds_tier_1b
+               WHEN 'tier_2' THEN ds_tier_2 WHEN 'tier_3' THEN ds_tier_3
+               ELSE [] END) AS s
+           FROM a),
+         pd AS (SELECT conv_id,
+             string_split(s, ':')[1] AS drug,
+             string_split(s, ':')[3] AS support FROM ds),
+         cnt AS (SELECT conv_id, drug,
+             sum(CASE WHEN support = 'CIVIC_SUPPORT' THEN 1 ELSE 0 END) AS n_sup,
+             sum(CASE WHEN support = 'CIVIC_RESISTANCE' THEN 1 ELSE 0 END) AS n_res,
+             sum(CASE WHEN support = 'CIVIC_CONFLICT' THEN 1 ELSE 0 END) AS n_con,
+             sum(CASE WHEN support = 'CIVIC_UNKNOWN' THEN 1 ELSE 0 END) AS n_unk
+           FROM pd GROUP BY 1, 2),
+         cl AS (SELECT conv_id, CASE
+             WHEN n_sup > 0 AND n_res = 0 AND n_con = 0 AND n_unk = 0 THEN 'all_support'
+             WHEN n_res > 0 AND n_sup = 0 AND n_con = 0 AND n_unk = 0 THEN 'all_resistance'
+             WHEN n_con > 0 AND n_sup = 0 AND n_res = 0 AND n_unk = 0 THEN 'all_conflict'
+             WHEN n_unk > 0 AND n_sup = 0 AND n_res = 0 AND n_con = 0 THEN 'all_unknown'
+             ELSE 'mixed' END AS cls
+           FROM cnt),
+         dist AS (SELECT conv_id, count(*) AS n_drugs,
+             CAST(sum(CASE WHEN cls = 'all_support' THEN 1 ELSE 0 END) AS BIGINT) AS n_all_support_drugs,
+             CAST(sum(CASE WHEN cls = 'all_resistance' THEN 1 ELSE 0 END) AS BIGINT) AS n_all_resistance_drugs,
+             CAST(sum(CASE WHEN cls = 'all_conflict' THEN 1 ELSE 0 END) AS BIGINT) AS n_all_conflict_drugs,
+             CAST(sum(CASE WHEN cls = 'all_unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_all_unknown_drugs,
+             CAST(sum(CASE WHEN cls = 'mixed' THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_drugs
+           FROM cl GROUP BY 1)
+         SELECT b.conv_id, b.n_turns, b.n_tier_1, b.n_tier_1b, b.n_tier_2,
+           b.n_tier_3, b.n_tier_4, b.frac_civic,
+           b.mean_matched_tier1, b.mean_matched_tier1b,
+           b.mean_matched_tier2, b.mean_matched_tier3,
+           coalesce(d.n_drugs, 0) AS n_drugs,
+           coalesce(d.n_all_support_drugs, 0) AS n_all_support_drugs,
+           coalesce(d.n_all_resistance_drugs, 0) AS n_all_resistance_drugs,
+           coalesce(d.n_all_conflict_drugs, 0) AS n_all_conflict_drugs,
+           coalesce(d.n_all_unknown_drugs, 0) AS n_all_unknown_drugs,
+           coalesce(d.n_mixed_drugs, 0) AS n_mixed_drugs
+         FROM base b LEFT JOIN dist d USING (conv_id) ORDER BY conv_id""",
     "q09_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -4,6 +4,18 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.model.{EvidenceRow, Turn}
 
+/** One raw (pre-reformat) evidence leaf: multi-drug + interaction type,
+  * the shape `ReformatCivic.reshapeDrugs` flattens into the one-drug
+  * `EvidenceRow` form (reference query.py:214-246).
+  */
+final case class RawEvidenceLeaf(
+    gene_key: String, var_id: String, var_name: String,
+    evidence_type: String, disease: String,
+    drugs: Seq[String], drug_interaction: String,
+    direction: String, significance: String, level: String,
+    source_type: String, source_id: String,
+    evidence_status: String, variant_origin: String)
+
 /** Deterministic synthetic data (FIXTURES.md §1-2): the transcript fact
   * table per `BASELINE.json input_hint` and the flat evidence dimension.
   *
@@ -172,6 +184,71 @@ object Synth {
   def evidenceDim(spark: SparkSession, nGenes: Int, seed: Long): Dataset[EvidenceRow] = {
     import spark.implicits._
     spark.createDataset(evidenceRows(nGenes, seed))
+  }
+
+  // ---------------------------------------------------------------------
+  // Raw (pre-reformat) evidence leaves — the input shape the S5
+  // reformat_civic drug reshaping consumes (reference query.py:214-246):
+  // a drug LIST plus a drug_interaction_type per leaf, before the
+  // one-drug-per-row flat dimension exists.
+  // ---------------------------------------------------------------------
+
+  /** Drug-shape cases exercised by the raw generator, cycling so every
+    * reshaping path (dedup+normalize, SUBSTITUTES explode,
+    * SEQUENTIAL/COMBINATION sort+join, NULL backfill, the
+    * empty+COMBINATION → "" reference quirk) appears.
+    */
+  private val rawDrugCases: IndexedSeq[(List[String], Option[String])] = IndexedSeq(
+    (List("dabrafenib "), None),                                // single, noisy case/space
+    (List("VEMURAFENIB", "vemurafenib "), None),                // dup collapses on dedup
+    (List("TRAMETINIB", "DABRAFENIB"), Some("Combination")),    // sorted + "+"-joined
+    (List("ERLOTINIB", "CETUXIMAB"), Some("SEQUENTIAL")),       // sorted + "+"-joined
+    (List("DABRAFENIB", "TRAMETINIB", "VEMURAFENIB"), Some("Substitutes")), // stays separate
+    (Nil, None),                                                // PREDICTIVE w/o drugs -> "NULL"
+    (Nil, Some("COMBINATION")))                                 // reference quirk -> [""]
+
+  /** Deterministic raw leaves; evidence_type cycles so the
+    * only-PREDICTIVE-may-carry-drugs guard path is present (all
+    * non-PREDICTIVE leaves carry no drugs, as in CIViC).
+    */
+  def rawEvidenceRows(nGenes: Int, seed: Long): Seq[RawEvidenceLeaf] = {
+    val rows = Vector.newBuilder[RawEvidenceLeaf]
+    var varCounter = 500
+    for (g <- 0 until nGenes) {
+      val gene = geneName(g.toLong)
+      for (j <- 0 until 4) {
+        val varId = varCounter.toString
+        varCounter += 1
+        val name = varTemplates(j % varTemplates.length)._1
+        val nEv = 1 + java.lang.Long.remainderUnsigned(mix(seed, g.toLong * 37 + j, 83L), 4L).toInt
+        for (e <- 0 until nEv) {
+          val he = mix(seed, g.toLong * 131 + j * 17 + e, 89L)
+          val evType = pick(evidenceTypes, he)
+          val (drugs, inter) =
+            if (evType == "PREDICTIVE")
+              rawDrugCases((java.lang.Long.remainderUnsigned(he, rawDrugCases.length.toLong)).toInt)
+            else (Nil, None)
+          val disease = pick(diseases, mix(seed, he, 23L))
+          val (dir, sig) = pick(dirSig, mix(seed, he, 31L))
+          rows += RawEvidenceLeaf(
+            gene_key = gene, var_id = varId, var_name = name,
+            evidence_type = evType, disease = disease,
+            drugs = drugs, drug_interaction = inter.orNull,
+            direction = dir, significance = sig,
+            level = pick(levels, mix(seed, he, 37L)),
+            source_type = pick(sourceTypes, mix(seed, he, 41L)),
+            source_id = (10000 + java.lang.Long.remainderUnsigned(he, 89999L)).toString,
+            evidence_status = pick(evStatuses, mix(seed, he, 43L)),
+            variant_origin = pick(origins, mix(seed, he, 47L)))
+        }
+      }
+    }
+    rows.result()
+  }
+
+  def rawEvidenceDim(spark: SparkSession, nGenes: Int, seed: Long): Dataset[RawEvidenceLeaf] = {
+    import spark.implicits._
+    spark.createDataset(rawEvidenceRows(nGenes, seed))
   }
 
   /** Gene alias table (analog of CIViC gene aliases, query.py:54-65):
