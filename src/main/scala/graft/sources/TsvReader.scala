@@ -16,15 +16,24 @@ import org.apache.spark.sql.expressions.Window
   * unreachable for well-formed headers and positional truthiness is a
   * Python accident, not a format rule.
   *
-  * `n_line` (the reference's only ordering token) is materialized
-  * explicitly with a window over a monotonic file order; at scale one
-  * would carry an explicit line-id column instead.
+  * `n_line` (the reference's only ordering token) is materialized as a
+  * PER-FILE 0-based body line number — the reference numbers lines
+  * within each input file, and partitioning the window by
+  * `input_file_name()` keeps the numbering embarrassingly parallel
+  * across files (one window task per file, no global single-partition
+  * exchange). At 100 TB the corpus arrives as many per-sample files, so
+  * files are the parallelism unit; within one file the row order is the
+  * scan order (reference-format TSVs are single-split small files — a
+  * reader for huge splittable single files would carry an explicit
+  * line-id column instead).
   */
 object TsvReader {
 
   private def withLineNumbers(df: DataFrame): DataFrame = {
-    // deterministic 0-based body line number (reference n_line)
-    val w = Window.orderBy(monotonically_increasing_id())
+    // deterministic 0-based body line number within each file
+    // (reference n_line); partitioned window => per-file tasks
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
     df.withColumn("n_line", (row_number().over(w) - 1).cast("long"))
   }
 

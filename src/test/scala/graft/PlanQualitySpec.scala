@@ -126,4 +126,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(sessions.groupBy("conv_id").count()
       .collect().forall(_.getLong(1) == 1L))
   }
+
+  test("TSV reader line numbering never funnels through one partition") {
+    val snv = graft.sources.TsvReader.readSnvs(spark,
+      "/root/reference/civicutils/data/example_snv.txt")
+    val plan = snv.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "per-file window degraded to a global single-partition exchange:\n" + plan)
+    // numbering itself unchanged: 0-based, dense, per file
+    val lines = snv.select("n_line").collect().map(_.getLong(0)).sorted
+    assert(lines.toSeq == lines.indices.map(_.toLong))
+  }
+
+  test("q19 SQL interface is deterministic across repeated runs") {
+    def run() = SparkEntry.queries("q19_sql_interface")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "q19 output flapped between runs")
+    // and the plan carries no global Sort below the aggregate
+    val plan = SparkEntry.queries("q19_sql_interface")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("first("), "nondeterministic first() crept back in")
+  }
 }
