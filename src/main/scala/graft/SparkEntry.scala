@@ -86,6 +86,55 @@ object SparkEntry {
       "vec_id", "embedding", nBits = 4, nTables = 8)
   }
 
+  /** q23/q24 dimension-side inputs. The renders / PREDICTIVE-entry /
+    * name tables are broadcast-small driver structures; exposing them
+    * as DataFrames lets the oracle re-derive the output-assembly and
+    * drug-target joins cross-engine.
+    */
+  private def defaultFilteredDim(s: SparkSession): DataFrame =
+    operators.EvidenceFilter(
+      sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF(),
+      Pipeline.defaultFilter)
+
+  private def q24Collected(s: SparkSession): (DataFrame, Seq[(model.EvidenceRow, String)]) = {
+    import s.implicits._
+    val filtered = defaultFilteredDim(s)
+    val collected = operators.CtClassifier.select(
+      operators.CtClassifier.annotate(filtered, Pipeline.defaultCt), Left("highest"))
+      .select(struct(filtered.columns.map(col): _*).as("_1"), col("ct").as("_2"))
+      .as[(model.EvidenceRow, String)].collect().toSeq
+    (filtered, collected)
+  }
+
+  def rendersDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val renders = operators.OutputAssembly.buildRenders(
+      s, defaultFilteredDim(s), Pipeline.defaultCt)
+    renders.value.toSeq.map { case ((g, v), r) =>
+      (g, v, r.scores, r.typesString,
+        r.evStrings.getOrElse("PREDICTIVE", Nil),
+        r.evStrings.getOrElse("DIAGNOSTIC", Nil),
+        r.evStrings.getOrElse("PROGNOSTIC", Nil),
+        r.evStrings.getOrElse("PREDISPOSING", Nil))
+    }.toDF("gene_key", "var_id", "scores", "types_string",
+      "ev_predictive", "ev_diagnostic", "ev_prognostic", "ev_predisposing")
+  }
+
+  def predEntriesDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    operators.Reports.buildPredEntries(q24Collected(s)._2).toSeq
+      .flatMap { case ((g, v), es) =>
+        es.map(e => (g, v, e.drug, e.ct, e.disease, e.evidence, e.entryIdx)) }
+      .toDF("gene_key", "var_id", "drug", "ct", "disease", "evidence", "entry_idx")
+  }
+
+  def varNamesDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    operators.Reports.buildNameMap(s, defaultFilteredDim(s)).value.toSeq
+      .map { case ((g, v), n) => (g, v, n) }
+      .toDF("gene_key", "var_id", "civic_variant")
+  }
+
   /** Relations Verify writes to `<outDir>/_rel/<name>` so the oracle
     * SQL can query engine-produced inputs cross-engine.
     */
@@ -100,7 +149,10 @@ object SparkEntry {
     "lsh_cand" -> ((s, dir) => lshCand(s, dir).select(col("query_id"), col("item_id"))),
     "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))),
     "dim_raw" -> ((s, _) =>
-      sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()))
+      sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()),
+    "renders" -> ((s, _) => rendersDF(s)),
+    "pred_entries" -> ((s, _) => predEntriesDF(s)),
+    "var_names" -> ((s, _) => varNamesDF(s)))
 
   /** Flagship: full match->annotate pipeline over synthesized
     * transcripts (driver smoke-checks rows>0).
@@ -356,22 +408,15 @@ object SparkEntry {
     }),
     "q23_output_table" -> ((s, _) => {
       import s.implicits._
-      val dim = sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF()
-      val filtered = operators.EvidenceFilter(dim, Pipeline.defaultFilter)
-      val renders = operators.OutputAssembly.buildRenders(s, filtered, Pipeline.defaultCt)
+      val renders = operators.OutputAssembly.buildRenders(
+        s, defaultFilteredDim(s), Pipeline.defaultCt)
       operators.OutputAssembly.writeMatchTable(
         Pipeline.run(s).as[operators.Annotation], renders)
         .orderBy(col("conv_id"), col("turn_idx"), col("tier"))
     }),
     "q24_drug_targets" -> ((s, _) => {
       import s.implicits._
-      val dim = sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF()
-      val filtered = operators.EvidenceFilter(dim, Pipeline.defaultFilter)
-      val ctSel = operators.CtClassifier.select(
-        operators.CtClassifier.annotate(filtered, Pipeline.defaultCt), Left("highest"))
-      val collected = ctSel
-        .select(struct(filtered.columns.map(col): _*).as("_1"), col("ct").as("_2"))
-        .as[(model.EvidenceRow, String)].collect()
+      val (filtered, collected) = q24Collected(s)
       val pred = s.sparkContext.broadcast(operators.Reports.buildPredEntries(collected))
       val names = operators.Reports.buildNameMap(s, filtered)
       operators.Reports.drugTargets(
@@ -661,6 +706,89 @@ object SparkEntry {
     "q31_versioned_dim" ->
       s"""SELECT epoch, highest_tier, count(*) AS n
          FROM ${rel("versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q23_output_table" ->
+      s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
+         r AS (SELECT * FROM ${rel("renders")}),
+         tiers AS (
+           SELECT conv_id, turn_idx, gene_key, data_type, '1' AS tier,
+                  tier_1 AS matched, ds_tier_1 AS ds
+           FROM ann WHERE len(tier_1) > 0
+           UNION ALL SELECT conv_id, turn_idx, gene_key, data_type, '1b',
+                  tier_1b, ds_tier_1b FROM ann WHERE len(tier_1b) > 0
+           UNION ALL SELECT conv_id, turn_idx, gene_key, data_type, '2',
+                  tier_2, ds_tier_2 FROM ann WHERE len(tier_2) > 0
+           UNION ALL SELECT conv_id, turn_idx, gene_key, data_type, '3',
+                  tier_3, ds_tier_3 FROM ann WHERE len(tier_3) > 0),
+         ex AS (SELECT conv_id, turn_idx, gene_key, data_type, tier,
+             unnest(matched) AS var_id,
+             unnest(range(len(matched))) AS vidx
+           FROM tiers),
+         fil AS (SELECT * FROM ex WHERE upper(var_id) NOT IN
+             ('NON_SNV_MATCH_ONLY', 'NON_CNV_MATCH_ONLY', 'NON_EXPR_MATCH_ONLY')),
+         j AS (SELECT f.conv_id, f.turn_idx, f.gene_key, f.data_type,
+             f.tier, f.vidx, r.scores, r.types_string, r.ev_predictive,
+             r.ev_diagnostic, r.ev_prognostic, r.ev_predisposing
+           FROM fil f JOIN r ON r.gene_key = f.gene_key AND r.var_id = f.var_id),
+         agg AS (SELECT conv_id, turn_idx, gene_key, data_type, tier,
+             flatten(list(scores ORDER BY vidx)) AS sc,
+             list(types_string ORDER BY vidx) AS ty,
+             flatten(list(ev_predictive ORDER BY vidx)) AS ep,
+             flatten(list(ev_diagnostic ORDER BY vidx)) AS edi,
+             flatten(list(ev_prognostic ORDER BY vidx)) AS epr,
+             flatten(list(ev_predisposing ORDER BY vidx)) AS eps
+           FROM j GROUP BY 1, 2, 3, 4, 5),
+         rows1 AS (SELECT t.conv_id, t.turn_idx, t.gene_key, t.data_type, t.tier,
+             coalesce(nullif(array_to_string(a.sc, ';'), ''), '.') AS civic_scores,
+             coalesce(nullif(array_to_string(a.ty, ';'), ''), '.') AS civic_var_types,
+             coalesce(nullif(array_to_string(
+               list_transform(t.ds, x -> upper(x)), ';'), ''), '.') AS civic_drug_support,
+             coalesce(nullif(array_to_string(a.ep, ';'), ''), '.') AS civic_predictive,
+             coalesce(nullif(array_to_string(a.edi, ';'), ''), '.') AS civic_diagnostic,
+             coalesce(nullif(array_to_string(a.epr, ';'), ''), '.') AS civic_prognostic,
+             coalesce(nullif(array_to_string(a.eps, ';'), ''), '.') AS civic_predisposing
+           FROM tiers t LEFT JOIN agg a
+             USING (conv_id, turn_idx, gene_key, data_type, tier)),
+         rows4 AS (SELECT conv_id, turn_idx, gene_key, data_type, '4' AS tier,
+             '.' AS civic_scores, '.' AS civic_var_types,
+             '.' AS civic_drug_support, '.' AS civic_predictive,
+             '.' AS civic_diagnostic, '.' AS civic_prognostic,
+             '.' AS civic_predisposing
+           FROM ann WHERE tier_4)
+         SELECT * FROM rows1 UNION ALL SELECT * FROM rows4
+         ORDER BY conv_id, turn_idx, tier""",
+    "q24_drug_targets" ->
+      s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
+         pred AS (SELECT * FROM ${rel("pred_entries")}),
+         names AS (SELECT * FROM ${rel("var_names")}),
+         tiers AS (
+           SELECT conv_id, turn_idx, gene_key, 0 AS tier_idx, 'tier_1' AS tier,
+                  tier_1 AS matched FROM ann
+           UNION ALL SELECT conv_id, turn_idx, gene_key, 1, 'tier_1b', tier_1b FROM ann
+           UNION ALL SELECT conv_id, turn_idx, gene_key, 2, 'tier_2', tier_2 FROM ann
+           UNION ALL SELECT conv_id, turn_idx, gene_key, 3, 'tier_3', tier_3 FROM ann),
+         ex AS (SELECT conv_id, turn_idx, gene_key, tier_idx, tier,
+             unnest(matched) AS var_id,
+             unnest(range(len(matched))) AS var_idx
+           FROM tiers),
+         fil AS (SELECT * FROM ex WHERE upper(var_id) NOT IN
+             ('NON_SNV_MATCH_ONLY', 'NON_CNV_MATCH_ONLY', 'NON_EXPR_MATCH_ONLY')),
+         j AS (SELECT f.conv_id, f.turn_idx, f.gene_key, f.tier_idx, f.tier,
+             f.var_id, f.var_idx, p.drug, p.ct, p.disease, p.evidence, p.entry_idx
+           FROM fil f JOIN pred p
+             ON p.gene_key = f.gene_key AND p.var_id = f.var_id),
+         w AS (SELECT *, row_number() OVER (PARTITION BY drug, gene_key
+             ORDER BY conv_id, turn_idx, tier_idx, var_idx, entry_idx) AS rn
+           FROM j),
+         frst AS (SELECT * FROM w WHERE rn = 1),
+         freq AS (SELECT drug, count(DISTINCT gene_key) AS n_genes
+           FROM frst GROUP BY 1)
+         SELECT f.drug, q.n_genes, f.gene_key AS gene,
+           coalesce(n.civic_variant, f.var_id) AS civic_variant, f.tier,
+           'PREDICTIVE' AS evidence_type, f.ct, f.disease, f.evidence,
+           f.conv_id, f.turn_idx
+         FROM frst f JOIN freq q USING (drug)
+         LEFT JOIN names n ON n.gene_key = f.gene_key AND n.var_id = f.var_id
+         ORDER BY q.n_genes DESC, f.drug, f.gene_key""",
     "q32_reformat_drugs" ->
       s"""WITH raw AS (SELECT * FROM ${rel("dim_raw")}),
          norm AS (SELECT gene_key, var_id, evidence_type, disease, level,
