@@ -218,8 +218,12 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
     "q06_dedup_exact" -> ((s, dir) => {
+      // group on the 64-bit fingerprint, not the raw text: the shuffle
+      // carries 8-byte keys instead of whole documents (the shape that
+      // matters at 100 TB; xxhash64 collisions are negligible and the
+      // text-grouping DuckDB oracle cross-checks the results)
       t(s, dir, "documents")
-        .groupBy(col("text"))
+        .groupBy(xxhash64(col("text")).as("_fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
         .orderBy(col("doc_id"))
