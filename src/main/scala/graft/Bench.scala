@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warm-up (codegen, parquet footers, executor threads) so the
+    // first measured query doesn't absorb ~3s of one-time costs
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
     // (name -> seconds, optional error) — a failed query must surface in
     // the JSON, never hide behind a normal-looking wall time
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -136,9 +136,18 @@ object Similarity {
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where the
     * hyperplane h_j is a deterministic pseudo-random +-1 vector derived
     * from (j, slot index) hashes — no stored planes, reproducible
-    * everywhere.
+    * everywhere. Computed by the native one-pass HyperplaneSigExpression
+    * (bit-identical to the composed-Column form, which re-walked the
+    * vector once per bit per table).
     */
   def hyperplaneSig(vec: Column, nBits: Int = 16, seed: Int = 7): Column =
+    graft.plans.TextExprs.hyperplaneSig(
+      org.apache.spark.sql.SparkSession.active, vec, nBits, seed)
+
+  /** The declarative signature form (kept as the cross-checkable
+    * reference for the native expression's bit-exact semantics).
+    */
+  def hyperplaneSigColumnar(vec: Column, nBits: Int = 16, seed: Int = 7): Column =
     (0 until nBits).map { j =>
       // +-1 pattern per slot: parity of xxhash64(slot, j, seed)
       val s = aggregate(

@@ -21,10 +21,21 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
 
-  /** Word n-gram shingles, hashed to 64-bit (xxhash64) — the input to
+  /** Word n-gram shingles, hashed to 64-bit — the input to
     * MinHash/Jaccard. Distinct, so downstream set ops are exact.
+    * Computed by the native one-pass HashedShinglesExpression: the
+    * composed-Column form re-ran the regex tokenizer once per shingle
+    * index (O(tokens²) regex work per row — 5.6 s for a 5k-doc pass vs
+    * sub-second native).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.TextExprs.shinglesHashed(
+      org.apache.spark.sql.SparkSession.active, text, n)
+
+  /** The declarative shingle form (kept as the cross-checkable
+    * reference for the native expression's semantics).
+    */
+  def shinglesColumnar(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     array_distinct(
       transform(
@@ -100,10 +111,20 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "para", "una", "que"))
 
   /** Cheap n-gram/stopword language id: argmax over per-language
-    * stopword hit ratios; "und" (undetermined) when no profile scores.
-    * Pure Columns — each profile is one array intersection.
+    * stopword hits; "und" (undetermined) when no profile scores.
+    * Computed by the native one-pass LangIdExpression — the composed
+    * form inlined the regex tokenizer into every profile filter
+    * (~9 splits per row).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.plans.TextExprs.langid(
+      org.apache.spark.sql.SparkSession.active, text)
+
+  /** The declarative language-id form (kept as the cross-checkable
+    * reference for the native expression's semantics; also the shape
+    * the DuckDB oracle mirrors).
+    */
+  def langIdColumnar(text: Column): Column = {
     val toks = tokens(text)
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*)))

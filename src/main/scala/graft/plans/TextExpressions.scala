@@ -96,6 +96,188 @@ object MinHashHelper {
   }
 }
 
+object ShinglesHelper {
+  /** One-pass hashed word n-gram shingles, replicating the declarative
+    * form's semantics exactly: tokens = whitespace split of the
+    * trimmed+lowercased text (zero tokens behave like the single empty
+    * token `split` produces on an empty string), shingle i = tokens
+    * [i, min(i+n, len)) joined by one space, number of shingles =
+    * max(len-n, 0)+1, result deduplicated.
+    *
+    * The composed-Column form re-ran the regex tokenizer once per
+    * shingle index (O(tokens²) regex work per row — measured 5.6 s for
+    * a 5k-doc pass); this is O(chars·n) with no allocation per shingle.
+    */
+  def eval(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString.toLowerCase
+    val len = s.length
+    // token spans
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = math.max(starts.size, 1) // empty text ≙ one empty token
+    val nSh = math.max(nTok - n, 0) + 1
+    val out = new Array[Long](nSh)
+    var p = 0
+    while (p < nSh) {
+      var h = 0x9E3779B97F4A7C15L
+      var t = p
+      val tEnd = math.min(p + n, nTok)
+      while (t < tEnd) {
+        if (t > p) h = (h ^ ' '.toLong) * 0xBF58476D1CE4E5B9L
+        if (t < starts.size) {
+          var c = starts.get(t).intValue()
+          val e = ends.get(t).intValue()
+          while (c < e) {
+            h = (h ^ s.charAt(c).toLong) * 0xBF58476D1CE4E5B9L
+            c += 1
+          }
+        }
+        t += 1
+      }
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      out(p) = h ^ (h >>> 31)
+      p += 1
+    }
+    // distinct (order-insensitive consumers: jaccard set ops, minhash)
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < nSh) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingles_hashed"
+  override def nullSafeEval(v: Any): Any =
+    ShinglesHelper.eval(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShinglesHelper$$.MODULE$$.eval($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangIdHelper {
+  // MUST mirror TextOps.langProfiles exactly (the declarative form and
+  // the DuckDB oracle both derive from that table)
+  private val profiles: Array[(String, java.util.HashSet[String])] =
+    Array(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"),
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que"),
+      "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "para", "una", "que"))
+      .map { case (l, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        (l, s)
+      }
+  private val und = UTF8String.fromString("und")
+  private val names = profiles.map(p => UTF8String.fromString(p._1))
+
+  /** One-pass stopword-profile language id; ties resolve to the
+    * alphabetically-last language with a positive best score, exactly
+    * as the declarative foldLeft does (outermost when() = last lang).
+    */
+  def eval(u: UTF8String): UTF8String = {
+    val s = u.toString.toLowerCase
+    val counts = new Array[Int](profiles.length)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > st) {
+        val tok = s.substring(st, i)
+        var p = 0
+        while (p < profiles.length) {
+          if (profiles(p)._2.contains(tok)) counts(p) += 1
+          p += 1
+        }
+      }
+    }
+    var best = 0
+    var p = 0
+    while (p < counts.length) { if (counts(p) > best) best = counts(p); p += 1 }
+    if (best == 0) return und
+    // alphabetical order is de,en,es,fr; last with score==best wins
+    var win = -1
+    p = 0
+    val order = Array(0, 1, 3, 2) // indices of (de,en,es,fr) in `profiles`
+    while (p < order.length) { if (counts(order(p)) == best) win = order(p); p += 1 }
+    names(win)
+  }
+}
+
+case class LangIdExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid"
+  override def nullSafeEval(v: Any): Any =
+    LangIdHelper.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.LangIdHelper$$.MODULE$$.eval($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneHelper {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Bit-exact native form of Similarity.hyperplaneSig's composed
+    * Columns: bit j = sign of sum_i vec(i) * (±1), where the ±1 is the
+    * parity of xxhash64(i, j, seed) exactly as the xxhash64 expression
+    * folds int children from its 42 seed. Sequential double summation
+    * in ascending slot order matches `aggregate`'s left fold, so the
+    * signatures are identical — one pass instead of nBits re-walks.
+    */
+  def eval(vec: ArrayData, nBits: Int, seed: Int): Int = {
+    val n = vec.numElements()
+    var sig = 0
+    var j = 0
+    while (j < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var h = XXH64.hashInt(i, 42L)
+        h = XXH64.hashInt(j, h)
+        h = XXH64.hashInt(seed, h)
+        s += vec.getFloat(i).toDouble * ((h & 1L) * 2 - 1).toDouble
+        i += 1
+      }
+      if (s > 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+case class HyperplaneSigExpression(child: Expression, nBits: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_sig"
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneHelper.eval(v.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HyperplaneHelper$$.MODULE$$.eval($c, $nBits, $seed);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpression(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -122,6 +304,24 @@ object TextExprs {
           case other => throw new IllegalArgumentException(
             s"minhash_sig k must be an integer literal, got $other")
         }), "internal")
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "langid", exprs => LangIdExpression(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSigExpression(exprs.head,
+        intLit(exprs(1), "hyperplane_sig nBits"),
+        intLit(exprs(2), "hyperplane_sig seed")), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles_hashed", exprs => HashedShinglesExpression(exprs.head,
+        exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles_hashed n must be an integer literal, got $other")
+        }), "internal")
   }
 
   def simhash64(spark: SparkSession, c: Column): Column = {
@@ -132,5 +332,20 @@ object TextExprs {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("minhash_sig", c,
       org.apache.spark.sql.functions.lit(k))
+  }
+  def shinglesHashed(spark: SparkSession, c: Column, n: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("shingles_hashed", c,
+      org.apache.spark.sql.functions.lit(n))
+  }
+  def langid(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("langid", c)
+  }
+  def hyperplaneSig(spark: SparkSession, c: Column, nBits: Int, seed: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("hyperplane_sig", c,
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(seed))
   }
 }

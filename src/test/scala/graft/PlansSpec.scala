@@ -81,4 +81,65 @@ class PlansSpec extends AnyFunSuite {
       assert(idxs == idxs.sorted, s"unsorted salted list for $conv")
     assert(lists.values.map(_.size).sum == ann.count())
   }
+
+  test("native shingles match the declarative form set-for-set") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    // hash functions differ (splitmix vs xxhash64) but both hash the
+    // same shingle STRINGS, so per-doc set sizes and every pairwise
+    // intersection size must agree exactly
+    val both = docs.select(col("doc_id"),
+      graft.operators.TextOps.shingles(col("text"), 3).as("nat"),
+      graft.operators.TextOps.shinglesColumnar(col("text"), 3).as("dec"))
+      .collect()
+    for (r <- both)
+      assert(r.getSeq[Long](1).size == r.getSeq[Long](2).size,
+        s"shingle cardinality drift for doc ${r.get(0)}")
+    val pairs = both.take(30)
+    for (a <- pairs; b <- pairs if a.getLong(0) < b.getLong(0)) {
+      val ni = a.getSeq[Long](1).toSet.intersect(b.getSeq[Long](1).toSet).size
+      val di = a.getSeq[Long](2).toSet.intersect(b.getSeq[Long](2).toSet).size
+      assert(ni == di, s"pairwise intersection drift ${a.get(0)}/${b.get(0)}")
+    }
+    // edge cases the quirk replication covers: empty and short texts
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "one two three four")
+      .toDF("text")
+      .select(graft.operators.TextOps.shingles(col("text"), 3).as("nat"),
+        graft.operators.TextOps.shinglesColumnar(col("text"), 3).as("dec"))
+      .collect()
+    for (r <- edge)
+      assert(r.getSeq[Long](0).size == r.getSeq[Long](1).size, r.toString)
+  }
+
+  test("native langid matches the declarative form on the corpus + edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val drift = docs.select(
+      graft.operators.TextOps.langId(col("text")).as("nat"),
+      graft.operators.TextOps.langIdColumnar(col("text")).as("dec"))
+      .filter(col("nat") =!= col("dec")).count()
+    assert(drift == 0)
+    val edge = Seq("", "   ", "la la la", "the la", "zzz qqq",
+      "der und la le el y", "est est la la").toDF("text")
+      .select(graft.operators.TextOps.langId(col("text")).as("nat"),
+        graft.operators.TextOps.langIdColumnar(col("text")).as("dec"))
+      .collect()
+    for (r <- edge) assert(r.getString(0) == r.getString(1), r.toString)
+  }
+
+  test("native hyperplane signature is bit-identical to the Column form") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300)
+    for ((nBits, seed) <- Seq((4, 7), (12, 9), (16, 23))) {
+      val drift = emb.select(
+        graft.operators.Similarity.hyperplaneSig(col("embedding"), nBits, seed).as("nat"),
+        graft.operators.Similarity.hyperplaneSigColumnar(col("embedding"), nBits, seed).as("dec"))
+        .filter(col("nat") =!= col("dec")).count()
+      assert(drift == 0, s"signature drift at nBits=$nBits seed=$seed")
+    }
+  }
 }
