@@ -846,7 +846,13 @@ object SparkEntry {
            FROM a),
          pd AS (SELECT conv_id,
              string_split(s, ':')[1] AS drug,
+             string_split(s, ':')[2] AS ct,
              string_split(s, ':')[3] AS support FROM ds),
+         ctd AS (SELECT conv_id,
+             count(DISTINCT CASE WHEN ct = 'CT' THEN drug END) AS n_drugs_ct,
+             count(DISTINCT CASE WHEN ct = 'GT' THEN drug END) AS n_drugs_gt,
+             count(DISTINCT CASE WHEN ct = 'NCT' THEN drug END) AS n_drugs_nct
+           FROM pd GROUP BY 1),
          cnt AS (SELECT conv_id, drug,
              sum(CASE WHEN support = 'CIVIC_SUPPORT' THEN 1 ELSE 0 END) AS n_sup,
              sum(CASE WHEN support = 'CIVIC_RESISTANCE' THEN 1 ELSE 0 END) AS n_res,
@@ -876,8 +882,12 @@ object SparkEntry {
            coalesce(d.n_all_resistance_drugs, 0) AS n_all_resistance_drugs,
            coalesce(d.n_all_conflict_drugs, 0) AS n_all_conflict_drugs,
            coalesce(d.n_all_unknown_drugs, 0) AS n_all_unknown_drugs,
-           coalesce(d.n_mixed_drugs, 0) AS n_mixed_drugs
-         FROM base b LEFT JOIN dist d USING (conv_id) ORDER BY conv_id""",
+           coalesce(d.n_mixed_drugs, 0) AS n_mixed_drugs,
+           coalesce(c.n_drugs_ct, 0) AS n_drugs_ct,
+           coalesce(c.n_drugs_gt, 0) AS n_drugs_gt,
+           coalesce(c.n_drugs_nct, 0) AS n_drugs_nct
+         FROM base b LEFT JOIN dist d USING (conv_id)
+         LEFT JOIN ctd c USING (conv_id) ORDER BY conv_id""",
     "q09_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

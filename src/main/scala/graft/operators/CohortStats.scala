@@ -61,11 +61,19 @@ object CohortStats {
         .when(col("highest_tier") === "tier_2", col("ds_tier_2"))
         .when(col("highest_tier") === "tier_3", col("ds_tier_3"))
         .otherwise(array().cast("array<string>"))
-    val perDrug = ann
+    val exploded = ann
       .select(col("conv_id"), explode(dsAtTier).as("ds"))
       .select(col("conv_id"),
         split(col("ds"), ":").getItem(0).as("drug"),
+        split(col("ds"), ":").getItem(1).as("ct"),
         split(col("ds"), ":").getItem(2).as("support"))
+    // per-"ct"-class feature counts (process_feature_per_ct analog:
+    // distinct drugs observed per cancer-type class)
+    val ctDist = exploded.groupBy(col("conv_id")).agg(
+      countDistinct(when(col("ct") === "CT", col("drug"))).as("n_drugs_ct"),
+      countDistinct(when(col("ct") === "GT", col("drug"))).as("n_drugs_gt"),
+      countDistinct(when(col("ct") === "NCT", col("drug"))).as("n_drugs_nct"))
+    val perDrug = exploded
       .groupBy(col("conv_id"), col("drug"))
       .agg(
         sum(when(col("support") === "CIVIC_SUPPORT", 1L).otherwise(0L)).as("n_sup"),
@@ -90,7 +98,9 @@ object CohortStats {
       sum(when(col("cls") === "mixed", 1L).otherwise(0L)).as("n_mixed_drugs"))
 
     base.join(drugDist, Seq("conv_id"), "left")
+      .join(ctDist, Seq("conv_id"), "left")
       .na.fill(0L, Seq("n_drugs", "n_all_support_drugs", "n_all_resistance_drugs",
-        "n_all_conflict_drugs", "n_all_unknown_drugs", "n_mixed_drugs"))
+        "n_all_conflict_drugs", "n_all_unknown_drugs", "n_mixed_drugs",
+        "n_drugs_ct", "n_drugs_gt", "n_drugs_nct"))
   }
 }
