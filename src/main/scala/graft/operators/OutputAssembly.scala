@@ -28,6 +28,38 @@ import graft.model.EvidenceRow
   */
 object OutputAssembly {
 
+  /** S8 (YAML half): minimal YAML dump of any DataFrame — one YAML
+    * list item per row, column names as keys (reference
+    * write_to_yaml, read_and_write.py:289-301, which yaml.dump()s a
+    * record map). Strings are single-quoted with '' escaping, numerics
+    * and booleans plain, null is `~`, arrays render as inline flow
+    * lists. Emits a one-string-column Dataset: write with
+    * `.write.text(...)` — per-partition formatting, never
+    * materializes on the driver.
+    */
+  def yamlLines(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val names = df.columns
+    def scalar(v: Any): String = v match {
+      case null => "~"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case b: Boolean => b.toString
+      case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => n.toString
+      case d: java.math.BigDecimal => d.toPlainString
+      case t: java.sql.Timestamp => "'" + t.toString + "'"
+      case d: java.sql.Date => "'" + d.toString + "'"
+      case seq: scala.collection.Seq[_] =>
+        seq.map(scalar).mkString("[", ", ", "]")
+      case other => "'" + other.toString.replace("'", "''") + "'"
+    }
+    df.map { row =>
+      names.zipWithIndex.map { case (n, i) =>
+        val pfx = if (i == 0) "- " else "  "
+        s"$pfx$n: ${scalar(row.get(i))}"
+      }.mkString("\n")
+    }
+  }
+
   /** Pre-rendered output fragments for one variant record. */
   final case class VarRender(
       scores: List[String],             // "GENE:NAME:MP:score" per mp

@@ -57,6 +57,10 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val nTurns = args.lift(0).map(_.toLong).getOrElse(2000000L)
     val outJson = args.lift(1).getOrElse("/tmp/scalebench.json")
+    // N and 4N parallelism levels (default 8 -> 32); a 4 -> 16 run
+    // evidences engine scaling below the single-box DRAM-bandwidth wall
+    val loCores = args.lift(2).map(_.toInt).getOrElse(8)
+    val hiCores = args.lift(3).map(_.toInt).getOrElse(32)
     val srcDir = s"/tmp/graft_scale_src_$nTurns"
 
     // one-time deterministic input (64 splits = full parallelism at 32)
@@ -102,16 +106,17 @@ object ScaleBench {
     var t8 = Double.MaxValue; var t32 = Double.MaxValue
     var rows8 = 0L; var rows32 = 0L
     for (_ <- 1 to 2) {
-      val (a, ra) = measure(8); t8 = math.min(t8, a); rows8 = ra
-      val (b, rb) = measure(32); t32 = math.min(t32, b); rows32 = rb
+      val (a, ra) = measure(loCores); t8 = math.min(t8, a); rows8 = ra
+      val (b, rb) = measure(hiCores); t32 = math.min(t32, b); rows32 = rb
     }
     require(rows8 == rows32, s"row mismatch across levels: $rows8 vs $rows32")
     val thr8 = rows8 / t8
     val thr32 = rows32 / t32
     val eff = (thr32 / thr8) / 4.0
     val json =
-      f"""{"rows":$rows8,"local8_sec":$t8%.2f,"local32_sec":$t32%.2f,""" +
-      f""""local8_turns_per_sec":$thr8%.0f,"local32_turns_per_sec":$thr32%.0f,""" +
+      f"""{"rows":$rows8,"lo_cores":$loCores,"hi_cores":$hiCores,""" +
+      f""""lo_sec":$t8%.2f,"hi_sec":$t32%.2f,""" +
+      f""""lo_turns_per_sec":$thr8%.0f,"hi_turns_per_sec":$thr32%.0f,""" +
       f""""scaling_efficiency":$eff%.3f}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
