@@ -53,6 +53,32 @@ object SparkEntry {
         new java.sql.Timestamp(epoch1))), "v1").otherwise("v2"))
   }
 
+  /** Stream-stream SCD-join annotation (q34 base): the same versioned
+    * dimension as q31, but resolved through the watermarked interval
+    * join instead of the broadcast lookup (batch-mode execution of the
+    * identical plan; VersionedDimSpec pins the streaming run).
+    */
+  def ssVersionedAnn(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val epoch0 = 1700000000000L
+    val epoch1 = epoch0 + 50L * 3600000L
+    val bc = operators.VersionedDim.build(s, Seq(
+      epoch0 -> sources.Synth.evidenceDim(s, 20, Pipeline.DefaultSeed).toDF(),
+      epoch1 -> sources.Synth.evidenceDim(s, Pipeline.DefaultGenes,
+        Pipeline.DefaultSeed).toDF()), Pipeline.defaultCt)
+    val turns = sources.Synth.transcripts(s,
+      sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+        nGenes = Pipeline.DefaultGenes, baseTs = epoch0))
+    // version rows must cover the generator's unknown-gene tail too —
+    // unmatched genes still join and resolve to tier_4 in the kernel
+    val genes = (0 until 60).map(g => sources.Synth.geneName(g.toLong))
+    val versions = s.createDataset(operators.VersionedDim.versionRows(
+      Seq(epoch0, epoch1), genes, epoch0 + 10000L * 3600000L))
+    operators.VersionedDim.annotateStreamStream(turns, versions, bc).toDF()
+      .withColumn("epoch", when(col("ts") < to_timestamp(lit(
+        new java.sql.Timestamp(epoch1))), "v1").otherwise("v2"))
+  }
+
   /** SNV protein strings from the synthetic transcripts (q25 base). */
   def snvProts(s: SparkSession): DataFrame = {
     val turns = sources.Synth.transcripts(s,
@@ -150,6 +176,8 @@ object SparkEntry {
     "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))),
     "dim_raw" -> ((s, _) =>
       sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()),
+    "ss_versioned_ann" -> ((s, _) => ssVersionedAnn(s)
+      .select(col("conv_id"), col("turn_idx"), col("epoch"), col("highest_tier"))),
     "renders" -> ((s, _) => rendersDF(s)),
     "pred_entries" -> ((s, _) => predEntriesDF(s)),
     "var_names" -> ((s, _) => varNamesDF(s)))
@@ -425,6 +453,12 @@ object SparkEntry {
       val names = operators.Reports.buildNameMap(s, filtered)
       operators.Reports.drugTargets(
         Pipeline.run(s).as[operators.Annotation], pred, names)
+    }),
+    "q34_ss_dim_join" -> ((s, _) => {
+      ssVersionedAnn(s)
+        .groupBy(col("epoch"), col("highest_tier"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("epoch"), col("highest_tier"))
     }),
     "q32_reformat_drugs" -> ((s, _) => {
       // S5 dimension ETL: raw multi-drug leaves -> one drug per row
@@ -710,6 +744,9 @@ object SparkEntry {
     "q31_versioned_dim" ->
       s"""SELECT epoch, highest_tier, count(*) AS n
          FROM ${rel("versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q34_ss_dim_join" ->
+      s"""SELECT epoch, highest_tier, count(*) AS n
+         FROM ${rel("ss_versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
     "q23_output_table" ->
       s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
          r AS (SELECT * FROM ${rel("renders")}),

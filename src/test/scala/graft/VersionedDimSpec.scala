@@ -44,6 +44,67 @@ class VersionedDimSpec extends AnyFunSuite {
     assert(got(2) == got(3), "stable gene resolves identically across epochs")
   }
 
+  test("stream-stream SCD join is row-for-row identical to broadcast annotate") {
+    import spark.implicits._
+    val epoch0 = 1700000000000L
+    val epoch1 = epoch0 + 50L * 3600000L
+    val bc = VersionedDim.build(spark, Seq(
+      epoch0 -> Synth.evidenceDim(spark, 8, 42L).toDF(),
+      epoch1 -> Synth.evidenceDim(spark, 16, 42L).toDF()), Pipeline.defaultCt)
+    val cfg = Synth.TurnGenConfig(nConvs = 40, turnsPerConv = 10,
+      nGenes = 16, baseTs = epoch0)
+    val turns = spark.createDataset(Synth.transcriptRows(cfg))
+    val horizon = epoch0 + 10000L * 3600000L
+    // version rows for EVERY gene a turn can carry (incl. the
+    // unknown-gene tail of the generator, which must still join and
+    // resolve to tier_4 via the kernel)
+    val genes = (0 until 40).map(g => Synth.geneName(g.toLong))
+    val versions = spark.createDataset(
+      VersionedDim.versionRows(Seq(epoch0, epoch1), genes, horizon))
+
+    def key(a: operators.Annotation) = (a.conv_id, a.turn_idx)
+    val viaJoin = VersionedDim.annotateStreamStream(turns, versions, bc)
+      .collect().map(a => key(a) -> a).toMap
+    val viaBroadcast = VersionedDim.annotate(turns, bc)
+      .collect().map(a => key(a) -> a).toMap
+    assert(viaJoin.keySet == viaBroadcast.keySet, "row coverage differs")
+    for ((k, a) <- viaBroadcast) assert(viaJoin(k) == a, s"row $k differs")
+  }
+
+  test("stream-stream SCD join runs as a genuine streaming symmetric hash join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    val epoch0 = 1700000000000L
+    val epoch1 = epoch0 + 50L * 3600000L
+    val bc = VersionedDim.build(spark, Seq(
+      epoch0 -> Synth.evidenceDim(spark, 8, 42L).toDF(),
+      epoch1 -> Synth.evidenceDim(spark, 16, 42L).toDF()), Pipeline.defaultCt)
+    val cfg = Synth.TurnGenConfig(nConvs = 10, turnsPerConv = 10,
+      nGenes = 16, baseTs = epoch0)
+    val rows = Synth.transcriptRows(cfg)
+    val genes = (0 until 40).map(g => Synth.geneName(g.toLong))
+
+    val turnsIn = MemoryStream[Turn]
+    val versIn = MemoryStream[operators.DimVersionRow]
+    versIn.addData(VersionedDim.versionRows(Seq(epoch0, epoch1), genes,
+      epoch0 + 10000L * 3600000L))
+    turnsIn.addData(rows)
+    val out = VersionedDim.annotateStreamStream(
+      turnsIn.toDS(), versIn.toDS(), bc)
+    val q = out.writeStream.format("memory").queryName("ss_scd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_scd").count()
+      assert(got == rows.size, s"streamed join emitted $got of ${rows.size}")
+      assert(q.lastProgress.toString.contains("symmetricHashJoin") ||
+        out.queryExecution.analyzed.toString.contains("Join"),
+        "expected a stream-stream join in the plan")
+    } finally q.stop()
+  }
+
   test("epoch lookup: boundaries and monotonicity") {
     import spark.implicits._
     val v = Synth.evidenceDim(spark, 4, 42L).toDF()
