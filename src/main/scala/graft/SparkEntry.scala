@@ -176,6 +176,9 @@ object SparkEntry {
     "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))),
     "dim_raw" -> ((s, _) =>
       sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()),
+    "doc_embeddings" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        operators.TextOps.hashEmbedding(col("text"), 64).as("vec"))),
     "ss_versioned_ann" -> ((s, _) => ssVersionedAnn(s)
       .select(col("conv_id"), col("turn_idx"), col("epoch"), col("highest_tier"))),
     "renders" -> ((s, _) => rendersDF(s)),
@@ -453,6 +456,15 @@ object SparkEntry {
       val names = operators.Reports.buildNameMap(s, filtered)
       operators.Reports.drugTargets(
         Pipeline.run(s).as[operators.Annotation], pred, names)
+    }),
+    "q35_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup over text-derived feature-hash
+      // embeddings: LSH-bucketed candidates, quantized-cosine verify
+      operators.NearDup.embeddingNearDups(
+        t(s, dir, "documents").select(col("doc_id"),
+          operators.TextOps.hashEmbedding(col("text"), 64).as("vec")),
+        "doc_id", "vec", threshold = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q34_ss_dim_join" -> ((s, _) => {
       ssVersionedAnn(s)
@@ -747,6 +759,22 @@ object SparkEntry {
     "q34_ss_dim_join" ->
       s"""SELECT epoch, highest_tier, count(*) AS n
          FROM ${rel("ss_versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q35_embed_neardup" ->
+      s"""WITH e AS (SELECT doc_id, vec FROM ${rel("doc_embeddings")}),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(
+               CAST((SELECT CAST(sum(CAST(round(x.qa * 1000) AS BIGINT) *
+                                     CAST(round(x.qb * 1000) AS BIGINT)) AS BIGINT)
+                     FROM (SELECT unnest(a.vec) AS qa, unnest(b.vec) AS qb) x) AS DOUBLE)
+               / sqrt(CAST(
+                   (SELECT CAST(sum(CAST(round(x.qa * 1000) AS BIGINT) *
+                                     CAST(round(x.qa * 1000) AS BIGINT)) AS BIGINT)
+                    FROM (SELECT unnest(a.vec) AS qa) x) *
+                   (SELECT CAST(sum(CAST(round(x.qb * 1000) AS BIGINT) *
+                                     CAST(round(x.qb * 1000) AS BIGINT)) AS BIGINT)
+                    FROM (SELECT unnest(b.vec) AS qb) x) AS DOUBLE)), 6) AS cos
+           FROM e a JOIN e b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, cos FROM p WHERE cos >= 0.9 ORDER BY 1, 2""",
     "q23_output_table" ->
       s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
          r AS (SELECT * FROM ${rel("renders")}),

@@ -135,6 +135,14 @@ object TextOps {
     }
   }
 
+  /** Feature-hashed text embedding (native one-pass expression;
+    * near-duplicate texts map to near-parallel vectors — the input to
+    * the embedding-cosine near-dup path).
+    */
+  def hashEmbedding(text: Column, dim: Int = 64): Column =
+    graft.plans.TextExprs.hashEmbedding(
+      org.apache.spark.sql.SparkSession.active, text, dim)
+
   /** Document-table feature extraction used by entry queries. */
   def documentStats(docs: DataFrame): DataFrame = {
     val base = docs.select(

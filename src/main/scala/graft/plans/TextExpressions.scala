@@ -170,6 +170,56 @@ case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+object HashEmbeddingHelper {
+  /** Feature-hashed text embedding: each whitespace token of the
+    * lowercased text hashes (splitmix) to a (slot, ±1) update of a
+    * `dim`-dim vector; slot 0 carries a constant +1 bias so no text —
+    * not even an empty one — produces the all-zero vector (which would
+    * make downstream cosines NaN with engine-dependent comparison
+    * semantics). L2-normalized floats out. Near-duplicate texts land on
+    * near-parallel vectors, giving the embedding-cosine near-dup path a
+    * deterministic, text-derived input.
+    */
+  def eval(u: UTF8String, dim: Int): ArrayData = {
+    val s = u.toString.toLowerCase
+    val acc = new Array[Double](dim)
+    acc(0) = 1.0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > st) {
+        val h = SimHashHelper.tokenHash(s, st, i)
+        val slot = (((h >>> 1) % dim) + dim) % dim
+        acc(slot.toInt) += ((h & 1L) * 2 - 1).toDouble
+      }
+    }
+    var n2 = 0.0
+    var j = 0
+    while (j < dim) { n2 += acc(j) * acc(j); j += 1 }
+    val inv = 1.0 / math.sqrt(n2)
+    val out = new Array[Float](dim)
+    j = 0
+    while (j < dim) { out(j) = (acc(j) * inv).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class HashEmbeddingExpression(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embedding"
+  override def nullSafeEval(v: Any): Any =
+    HashEmbeddingHelper.eval(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashEmbeddingHelper$$.MODULE$$.eval($c, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object LangIdHelper {
   // MUST mirror TextOps.langProfiles exactly (the declarative form and
   // the DuckDB oracle both derive from that table)
@@ -312,6 +362,9 @@ object TextExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "langid", exprs => LangIdExpression(exprs.head), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_embedding", exprs => HashEmbeddingExpression(exprs.head,
+        intLit(exprs(1), "hash_embedding dim")), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSigExpression(exprs.head,
         intLit(exprs(1), "hyperplane_sig nBits"),
         intLit(exprs(2), "hyperplane_sig seed")), "internal")
@@ -341,6 +394,11 @@ object TextExprs {
   def langid(spark: SparkSession, c: Column): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("langid", c)
+  }
+  def hashEmbedding(spark: SparkSession, c: Column, dim: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("hash_embedding", c,
+      org.apache.spark.sql.functions.lit(dim))
   }
   def hyperplaneSig(spark: SparkSession, c: Column, nBits: Int, seed: Int): Column = {
     registerAll(spark)

@@ -68,6 +68,38 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-cosine near-dup finds planted dups; agrees with brute force") {
+    val docs = docsDf((0L until 60L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot tok$i tok${i * 7} golf hotel india juliet"
+      // plant near-dups: docs 40-49 copy doc (i-40) with one token changed
+      val text = if (i >= 40 && i < 50)
+        s"alpha bravo charlie delta echo foxtrot tok${i - 40} tok${(i - 40) * 7} golf hotel india CHANGED"
+      else base
+      (i, text)
+    })
+    val emb = docs.select(col("doc_id"),
+      TextOps.hashEmbedding(col("text"), 64).as("vec"))
+    val got = NearDup.embeddingNearDups(emb, "doc_id", "vec", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over the same quantized cosine
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def qcos(a: Seq[Float], b: Seq[Float]): Double = {
+      def qd(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) =>
+          math.round(p.toDouble * 1000) * math.round(q.toDouble * 1000) }.sum
+      qd(a, b).toDouble / math.sqrt((qd(a, a) * qd(b, b)).toDouble)
+    }
+    val want = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      if BigDecimal(qcos(vecs(a), vecs(b))).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.9
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must contain planted near-dup pairs")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // planted pairs are found
+    for (i <- 40L until 50L) assert(got.contains((i - 40, i)), s"pair ${i - 40}/$i")
+  }
+
   test("dedupKeepFirst drops the larger-id member of each near-dup pair") {
     val df = docsDf(corpus)
     val pairs = NearDup.minhashNearDups(df, "doc_id", "text", threshold = 0.6)
