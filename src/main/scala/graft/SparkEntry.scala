@@ -463,7 +463,7 @@ object SparkEntry {
       operators.NearDup.embeddingNearDups(
         t(s, dir, "documents").select(col("doc_id"),
           operators.TextOps.hashEmbedding(col("text"), 64).as("vec")),
-        "doc_id", "vec", threshold = 0.9)
+        "doc_id", "vec", threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q34_ss_dim_join" -> ((s, _) => {
@@ -774,7 +774,7 @@ object SparkEntry {
                                      CAST(round(x.qb * 1000) AS BIGINT)) AS BIGINT)
                     FROM (SELECT unnest(b.vec) AS qb) x) AS DOUBLE)), 6) AS cos
            FROM e a JOIN e b ON a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, cos FROM p WHERE cos >= 0.9 ORDER BY 1, 2""",
+         SELECT doc_a, doc_b, cos FROM p WHERE cos >= 0.8 ORDER BY 1, 2""",
     "q23_output_table" ->
       s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
          r AS (SELECT * FROM ${rel("renders")}),

@@ -103,12 +103,16 @@ object NearDup {
     * Returns (doc_a, doc_b, cos) with doc_a < doc_b, cos >= threshold.
     * Same scale shape as the MinHash path: signatures map-only,
     * payload-light bucket shuffle, vectors re-attached only for
-    * candidates. Recall is tuned by (nBits, nTables): at cos 0.9,
-    * 16 tables x 6 bits give per-pair miss ~6e-6.
+    * candidates. Recall/pruning is tuned by (nBits, nTables): bits are
+    * the AND (per-table precision), tables the OR (recall). Defaults
+    * 10 bits x 64 tables: per-pair miss ~1e-6 at cos 0.89 (the 2J/(1+J)
+    * image of a Jaccard-0.8 shingle near-dup) while pairs at the
+    * random-cosine noise floor (|cos| ≲ 2/sqrt(dim)) bucket together
+    * <15% of the time.
     */
   def embeddingNearDups(docs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.9, nBits: Int = 6,
-                        nTables: Int = 16): DataFrame = {
+                        threshold: Double = 0.8, nBits: Int = 10,
+                        nTables: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val base = docs.select(col(idCol).as("doc"), col(vecCol).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("doc"),
@@ -117,7 +121,13 @@ object NearDup {
           Similarity.hyperplaneSig(col("vec"), nBits, seed = 101 + t).as("sig"))
       }: _*)).as("ts"))
       .select(col("doc"), col("ts.table"), col("ts.sig"))
-    val a = sigs.alias("a"); val b = sigs.alias("b")
+    // cap degenerate buckets, as in the MinHash path
+    val okBuckets = sigs.groupBy(col("table"), col("sig"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") > 1)
+      .select(col("table"), col("sig"))
+    val capped = sigs.join(okBuckets, Seq("table", "sig"))
+    val a = capped.alias("a"); val b = capped.alias("b")
     val cand = a.join(b,
         col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
         col("a.doc") < col("b.doc"))

@@ -45,8 +45,21 @@ object Similarity {
     * across engines (float-sum cosine is summation-order-dependent) —
     * the property the DuckDB oracle needs. Quantization error is
     * ~1e-3 relative at scale=1000; fine for ANN ranking.
+    *
+    * Computed by the native one-pass QuantizedCosineExpression (float
+    * arrays, fixed scale 1000): the composed form walked both arrays
+    * three times through interpreted lambdas — minutes over millions
+    * of candidate pairs. Parity with the Columnar form is pinned in
+    * PlansSpec.
     */
-  def quantizedCosine(a: Column, b: Column, scale: Int = 1000): Column =
+  def quantizedCosine(a: Column, b: Column): Column =
+    graft.plans.TextExprs.quantizedCosine(
+      org.apache.spark.sql.SparkSession.active, a, b)
+
+  /** The declarative quantized-cosine form (cross-checkable reference
+    * for the native expression; any numeric array type).
+    */
+  def quantizedCosineColumnar(a: Column, b: Column, scale: Int = 1000): Column =
     quantizedDot(a, b, scale).cast("double") /
       sqrt((quantizedDot(a, a, scale) * quantizedDot(b, b, scale)).cast("double"))
 

@@ -171,30 +171,29 @@ case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpr
 }
 
 object HashEmbeddingHelper {
-  /** Feature-hashed text embedding: each whitespace token of the
-    * lowercased text hashes (splitmix) to a (slot, ±1) update of a
-    * `dim`-dim vector; slot 0 carries a constant +1 bias so no text —
-    * not even an empty one — produces the all-zero vector (which would
-    * make downstream cosines NaN with engine-dependent comparison
-    * semantics). L2-normalized floats out. Near-duplicate texts land on
-    * near-parallel vectors, giving the embedding-cosine near-dup path a
-    * deterministic, text-derived input.
+  /** Feature-hashed text embedding over DISTINCT word-3-gram shingles
+    * (ShinglesHelper): each shingle hash maps to a (slot, ±1) update of
+    * a `dim`-dim vector, L2-normalized floats out. Shingle (not token)
+    * features are what make this usable for near-dup detection: token
+    * features are dominated by the shared vocabulary, so every pair of
+    * documents is moderately similar and LSH cannot prune (measured:
+    * 10.7 M of 12.5 M possible pairs bucketed together at sf0.1);
+    * distinct-3-gram ±1 features give E[cos]≈0 for unrelated docs and
+    * cos ≈ 2J/(1+J) for Jaccard-J near-dups. Slot 0 carries a tiny
+    * bias (1e-3) so no text produces the all-zero vector (whose NaN
+    * cosines compare differently across engines).
     */
   def eval(u: UTF8String, dim: Int): ArrayData = {
-    val s = u.toString.toLowerCase
+    val sh = ShinglesHelper.eval(u, 3)
     val acc = new Array[Double](dim)
-    acc(0) = 1.0
+    acc(0) = 1e-3
     var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val st = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > st) {
-        val h = SimHashHelper.tokenHash(s, st, i)
-        val slot = (((h >>> 1) % dim) + dim) % dim
-        acc(slot.toInt) += ((h & 1L) * 2 - 1).toDouble
-      }
+    val n = sh.numElements()
+    while (i < n) {
+      val h = sh.getLong(i)
+      val slot = (((h >>> 1) % dim) + dim) % dim
+      acc(slot.toInt) += ((h & 1L) * 2 - 1).toDouble
+      i += 1
     }
     var n2 = 0.0
     var j = 0
@@ -218,6 +217,53 @@ case class HashEmbeddingExpression(child: Expression, dim: Int)
       s"${ev.value} = graft.plans.HashEmbeddingHelper$$.MODULE$$.eval($c, $dim);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object QuantizedCosineHelper {
+  /** One-pass quantized cosine over two float arrays — bit-identical
+    * to Similarity.quantizedCosineColumnar (per-slot round(x*1000) as
+    * long, exact integer dot + norms, then IEEE divide/sqrt): the
+    * composed aggregate/zip_with form walks both arrays three times
+    * through interpreted lambdas, which dominated the embedding
+    * near-dup verification (minutes for millions of candidate pairs).
+    */
+  def eval(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      "quantized_cosine requires equal-length vectors")
+    var qd = 0L; var qa = 0L; var qb = 0L
+    var i = 0
+    while (i < n) {
+      val x = q(a.getFloat(i))
+      val y = q(b.getFloat(i))
+      qd += x * y; qa += x * x; qb += y * y
+      i += 1
+    }
+    qd.toDouble / math.sqrt((qa * qb).toDouble)
+  }
+
+  /** HALF_UP (away-from-zero) tie rounding, matching Spark's round()
+    * and DuckDB's round() — Math.round alone ties toward +inf, which
+    * diverges on negative .5 boundaries.
+    */
+  @inline private def q(f: Float): Long = {
+    val v = f.toDouble * 1000
+    if (v >= 0) java.lang.Math.round(v) else -java.lang.Math.round(-v)
+  }
+}
+
+case class QuantizedCosineExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_cosine"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    QuantizedCosineHelper.eval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.plans.QuantizedCosineHelper$$.MODULE$$.eval($l, $r);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object LangIdHelper {
@@ -365,6 +411,9 @@ object TextExprs {
       "hash_embedding", exprs => HashEmbeddingExpression(exprs.head,
         intLit(exprs(1), "hash_embedding dim")), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantized_cosine", exprs =>
+        QuantizedCosineExpression(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSigExpression(exprs.head,
         intLit(exprs(1), "hyperplane_sig nBits"),
         intLit(exprs(2), "hyperplane_sig seed")), "internal")
@@ -399,6 +448,10 @@ object TextExprs {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("hash_embedding", c,
       org.apache.spark.sql.functions.lit(dim))
+  }
+  def quantizedCosine(spark: SparkSession, a: Column, b: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("quantized_cosine", a, b)
   }
   def hyperplaneSig(spark: SparkSession, c: Column, nBits: Int, seed: Int): Column = {
     registerAll(spark)

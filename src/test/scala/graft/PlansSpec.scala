@@ -130,6 +130,19 @@ class PlansSpec extends AnyFunSuite {
     for (r <- edge) assert(r.getString(0) == r.getString(1), r.toString)
   }
 
+  test("native quantized cosine is bit-identical to the Column form") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.limit(40).select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.limit(40).select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val drift = pairs.select(
+      graft.operators.Similarity.quantizedCosine(col("va"), col("vb")).as("nat"),
+      graft.operators.Similarity.quantizedCosineColumnar(col("va"), col("vb")).as("dec"))
+      .filter(col("nat") =!= col("dec")).count()
+    assert(drift == 0)
+  }
+
   test("native hyperplane signature is bit-identical to the Column form") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
