@@ -457,6 +457,13 @@ object SparkEntry {
       operators.Reports.drugTargets(
         Pipeline.run(s).as[operators.Annotation], pred, names)
     }),
+    "q36_jaccard_exact" -> ((s, dir) => {
+      // EXACT n-gram Jaccard near-dup (inverted shingle join, no
+      // hashing approximation) — the exact counterpart of q14
+      operators.NearDup.jaccardNearDups(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q35_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup over text-derived feature-hash
       // embeddings: LSH-bucketed candidates, quantized-cosine verify
@@ -759,6 +766,21 @@ object SparkEntry {
     "q34_ss_dim_join" ->
       s"""SELECT epoch, highest_tier, count(*) AS n
          FROM ${rel("ss_versioned_ann")} GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q36_jaccard_exact" ->
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE jaccard >= 0.5 ORDER BY 1, 2""",
     "q35_embed_neardup" ->
       s"""WITH e AS (SELECT doc_id, vec FROM ${rel("doc_embeddings")}),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

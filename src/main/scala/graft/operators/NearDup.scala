@@ -84,6 +84,52 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard near-duplicates via an inverted shingle
+    * join — no hashing approximation anywhere: explode (doc, shingle),
+    * self-join on the shingle, count shared shingles per pair, then
+    * |A∩B| / (|A|+|B|-|A∩B|). The self-join is on shingle keys (the
+    * inverted-index shape), never an all-pairs cross join; `maxDocFreq`
+    * drops shingles appearing in more than that many docs before the
+    * join — the standard stop-shingle cap against quadratic hot keys.
+    * With the cap at its default (0 = off) the result is exact; with a
+    * cap it is exact over the non-stop shingle vocabulary (documented
+    * approximation, asymmetric from LSH recall loss: a capped shingle
+    * reduces both intersection and union counts).
+    *
+    * This is the exact counterpart of `minhashNearDups`: same output
+    * contract, O(sum of postings²) per shingle instead of O(corpus)
+    * signatures — the right choice when the shingle frequency
+    * distribution is flat or the threshold is low enough that LSH
+    * recall can't be guaranteed.
+    */
+  def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      nShingle: Int = 3, threshold: Double = 0.5,
+                      maxDocFreq: Int = 0): DataFrame = {
+    val withSh = docs
+      .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = withSh.select(col("doc"), size(col("sh")).as("n"))
+    val posting = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    val capped =
+      if (maxDocFreq <= 0) posting
+      else posting.join(
+        posting.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s"))
+    val a = capped.alias("a"); val b = capped.alias("b")
+    val inter = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Dedup plan from near-dup pairs: keep the smallest id of each
     * connected component's star (greedy: drop any doc that has a
     * near-dup with a smaller id — one pass, no iterative connected

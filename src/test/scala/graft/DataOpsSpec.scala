@@ -68,6 +68,33 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact jaccard near-dup equals brute force; cap drops stop shingles") {
+    val df = docsDf(corpus)
+    val got = NearDup.jaccardNearDups(df, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute-force ground truth over the same shingle sets
+    val sh = df.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= 0.6
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    for ((k, j) <- want) assert(math.abs(got(k) - j) < 1e-3, s"jaccard $k")
+    // the exact path and the high-recall minhash path agree pair-for-pair
+    val viaMinhash = NearDup.minhashNearDups(df, "doc_id", "text",
+      k = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMinhash == got.keySet)
+    // a tiny docfreq cap removes every common shingle -> no pairs survive
+    val capped = NearDup.jaccardNearDups(df, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 1)
+    assert(capped.count() == 0)
+  }
+
   test("embedding-cosine near-dup finds planted dups; agrees with brute force") {
     // long docs so a one-token change stays a HIGH-cosine near-dup in
     // shingle-feature space (3 of ~22 shingles differ -> cos ≈ 0.86)
