@@ -138,6 +138,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(lines.toSeq == lines.indices.map(_.toLong))
   }
 
+  test("near-dup family plans never degrade to cartesian products") {
+    for (q <- Seq("q14_minhash_neardup", "q15_simhash_neardup",
+        "q35_embed_neardup", "q36_jaccard_exact")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a nested-loop join:\n$plan")
+    }
+  }
+
   test("q19 SQL interface is deterministic across repeated runs") {
     def run() = SparkEntry.queries("q19_sql_interface")(spark, sf)
       .collect().map(_.toString).toSeq
