@@ -150,6 +150,40 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join co-located: no Exchange in the join plan") {
+    // the 100 TB co-location story: pre-bucket both sides of a
+    // recurring join on its key and the shuffle disappears entirely
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, "expected a sort-merge join over bucketed tables:\n" + plan)
+    // no shuffle below the join: the only Exchange allowed is the one
+    // ABOVE it for the final aggregation
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange"),
+      "bucketed join still shuffles its inputs:\n" + plan)
+    // same result as the shuffle join
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+
   test("q19 SQL interface is deterministic across repeated runs") {
     def run() = SparkEntry.queries("q19_sql_interface")(spark, sf)
       .collect().map(_.toString).toSeq
