@@ -127,7 +127,7 @@ object SparkEntry {
     val filtered = defaultFilteredDim(s)
     val collected = operators.CtClassifier.select(
       operators.CtClassifier.annotate(filtered, Pipeline.defaultCt), Left("highest"))
-      .select(struct(filtered.columns.map(col): _*).as("_1"), col("ct").as("_2"))
+      .select(struct(filtered.columns.toIndexedSeq.map(col): _*).as("_1"), col("ct").as("_2"))
       .as[(model.EvidenceRow, String)].collect().toSeq
     (filtered, collected)
   }

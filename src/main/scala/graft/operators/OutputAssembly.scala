@@ -117,10 +117,10 @@ object OutputAssembly {
     import spark.implicits._
     val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
     val collected = ctSel
-      .select(struct(dim.columns.map(col): _*).as("_1"), col("ct").as("_2"))
+      .select(struct(dim.columns.toIndexedSeq.map(col): _*).as("_1"), col("ct").as("_2"))
       .as[(EvidenceRow, String)].collect()
     spark.sparkContext.broadcast(
-      buildRendersLocal(collected, writeCt, writeComplete))
+      buildRendersLocal(collected.toIndexedSeq, writeCt, writeComplete))
   }
 
   /** Driver-side assembly (dimension is broadcast-small). */

@@ -61,7 +61,7 @@ object ReformatCivic {
         (size(drugList) === 1 && drugList.getItem(0) === "NULL"),
       lit("Only evidences of type 'PREDICTIVE' can have drugs associated!"))
     val guardedList = when(guard.isNull, drugList)
-    val passthrough = raw.columns
+    val passthrough = raw.columns.toIndexedSeq
       .filterNot(c => c == drugsCol || c == interactionCol).map(col)
     raw.select(passthrough :+
       posexplode(guardedList).as(Seq("drug_order", "drug")): _*)

@@ -70,7 +70,7 @@ object TsvReader {
         (if (hasImpact) col(impactName) else lit("")).as("impact"),
         (if (hasExon) col(exonName) else lit("")).as("exon"),
         col("n_line"),
-        array(extraCols.map(col): _*).as("extras"))
+        array(extraCols.toIndexedSeq.map(col): _*).as("extras"))
       .withColumn("variant_key", concat_ws("|",
         col("dna"), col("prot"), col("impact"), col("exon"), col("n_line")))
       .withColumn("data_type", lit("SNV"))
@@ -86,7 +86,7 @@ object TsvReader {
     val extraCols = raw.columns.filterNot(c => c == geneName || c == cnvName)
     withLineNumbers(raw)
       .select(col(geneName).as("gene"), col(cnvName).as("cnv"), col("n_line"),
-        array(extraCols.map(col): _*).as("extras"))
+        array(extraCols.toIndexedSeq.map(col): _*).as("extras"))
       .withColumn("variant_key", concat_ws("|", col("cnv"), col("n_line")))
       .withColumn("data_type", lit("CNV"))
   }
@@ -104,7 +104,7 @@ object TsvReader {
     withLineNumbers(raw)
       .select(col(geneName).as("gene"),
         col(logfcName).cast("double").as("logfc"), col("n_line"),
-        array(extraCols.map(col): _*).as("extras"))
+        array(extraCols.toIndexedSeq.map(col): _*).as("extras"))
       .withColumn("variant_key", concat_ws("|", col("logfc"), col("n_line")))
       .withColumn("data_type", lit("EXPR"))
   }
