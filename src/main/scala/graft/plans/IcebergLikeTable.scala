@@ -89,4 +89,100 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
         .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
         .toSeq.sorted
     }
+
+  private val ReplacesRe = """"replaces":\[([0-9,\s]*)\]""".r
+
+  /** Batch ids a committed snapshot replaced (compaction snapshots). */
+  private def replacedBy(batchId: Long): Seq[Long] = {
+    val body = new String(Files.readAllBytes(manifestPath(batchId)),
+      StandardCharsets.UTF_8)
+    ReplacesRe.findFirstMatchIn(body) match {
+      case Some(m) if m.group(1).trim.nonEmpty =>
+        m.group(1).split(",").map(_.trim.toLong).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** LIVE batch ids: every committed snapshot minus those replaced by a
+    * later committed compaction — table state is defined by the
+    * manifest log, exactly as in Iceberg, so data files written but not
+    * (or no longer) referenced are invisible to readers.
+    */
+  def liveBatches(): Seq[Long] = {
+    val all = snapshots()
+    val dead = all.flatMap(replacedBy).toSet
+    all.filterNot(dead)
+  }
+
+  /** Manifest-driven read: only live batches' partitions (partition
+    * pruning keeps this a metadata-level filter).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val live = liveBatches()
+    spark.read.parquet(root).filter(col("_batch_id").isin(live: _*))
+  }
+
+  /** Compact the small per-batch files (THE streaming-sink pathology at
+    * scale: one tiny file set per micro-batch) into one consolidated
+    * snapshot. Iceberg rewrite-files semantics:
+    *  1. the live batches' rows are rewritten under a fresh
+    *     `_batch_id = compactionId` partition (append — never touches
+    *     live partitions);
+    *  2. the ATOMIC manifest rename is the commit point — it records
+    *     `replaces:[..]`, flipping readers to the consolidated files in
+    *     one step (a crash before it leaves the old snapshots live and
+    *     the new files unreferenced/invisible);
+    *  3. replaced partition directories are deleted best-effort AFTER
+    *     the commit (readers never list unreferenced dirs).
+    * `compactionId` must be larger than every live batch id.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, compactionId: Long,
+              filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    if (committed(compactionId)) return
+    val live = liveBatches()
+    require(live.forall(_ < compactionId),
+      s"compactionId $compactionId must exceed every live batch id")
+    if (live.size <= 1) return // nothing worth consolidating
+    // hash-repartition on the partition columns: every logical
+    // partition's rows land in one task -> one consolidated file
+    // (filesPerPartition > 1 spreads a huge partition over that many
+    // shuffle tasks instead)
+    val rows = spark.read.parquet(root)
+      .filter(col("_batch_id").isin(live: _*))
+      .drop("_batch_id")
+    val df =
+      if (filesPerPartition <= 1) rows.repartition(partitionCols.map(col): _*)
+      else rows.repartition(filesPerPartition, partitionCols.map(col): _*)
+    val counts = df.groupBy(partitionCols.map(col): _*).count().collect()
+      .map { r =>
+        val key = partitionCols.indices
+          .map(i => s""""${partitionCols(i)}":"${r.get(i)}"""").mkString(",")
+        s"""{$key,"rows":${r.getLong(partitionCols.length)}}"""
+      }
+    df.withColumn("_batch_id", lit(compactionId))
+      .write.mode(SaveMode.Append)
+      .partitionBy(partitionCols :+ "_batch_id": _*)
+      .parquet(root)
+    Files.createDirectories(manifestDir)
+    val body =
+      s"""{"batch_id":$compactionId,"replaces":[${live.mkString(",")}],
+         |"partition_cols":[${partitionCols.map("\"" + _ + "\"").mkString(",")}],
+         |"partitions":[${counts.mkString(",")}]}""".stripMargin
+    val tmp = manifestDir.resolve(s".snap-$compactionId.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(compactionId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // post-commit cleanup of dereferenced files (safe: readers resolve
+    // state from manifests, not directory listings)
+    import scala.jdk.CollectionConverters._
+    // exact path-SEGMENT match: a substring test would make
+    // "_batch_id=1" also hit "_batch_id=100" (the new snapshot!)
+    val deadDirs = live.map(id => s"_batch_id=$id").toSet
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq
+      .filter(p => p.iterator().asScala.exists(seg => deadDirs(seg.toString)))
+      .reverse
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
+  }
 }

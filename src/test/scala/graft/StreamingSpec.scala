@@ -156,6 +156,43 @@ class StreamingSpec extends AnyFunSuite {
       s"incremental resume wrong: $n1 + ${more.size} != $n3")
   }
 
+  test("sink compaction: manifest-committed rewrite, same rows, fewer files") {
+    import spark.implicits._
+    val tableDir = tmp("compact_table")
+    val table = new IcebergLikeTable(tableDir, Seq("data_type"))
+    // five small micro-batches (the streaming small-files pathology)
+    val turnCfg = Synth.TurnGenConfig(nConvs = 10, turnsPerConv = 4, nGenes = 12)
+    val ann = Pipeline.annotate(
+      spark.createDataset(Synth.transcriptRows(turnCfg)), bc).toDF()
+      .select("conv_id", "turn_idx", "data_type", "highest_tier")
+    for (b <- 0L until 4L)
+      table.replacePartitions(ann.filter(col("turn_idx") % 4 === b), b)
+    def files(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tableDir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val before = table.read(spark).drop("_batch_id")
+      .collect().map(_.toString).sorted
+    val filesBefore = files()
+    assert(table.liveBatches() == Seq(0L, 1L, 2L, 3L))
+
+    table.compact(spark, compactionId = 100L)
+    assert(table.liveBatches() == Seq(100L), "compaction must replace all live batches")
+    val after = table.read(spark).drop("_batch_id")
+      .collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq, "compaction changed table contents")
+    assert(files() < filesBefore,
+      s"compaction did not reduce file count (${files()} vs $filesBefore)")
+    // idempotent: re-running the same compaction id is a no-op
+    table.compact(spark, compactionId = 100L)
+    assert(table.read(spark).count() == before.length.toLong)
+    // a later batch appends on top of the compacted state
+    table.replacePartitions(ann.limit(7), 101L)
+    assert(table.liveBatches() == Seq(100L, 101L))
+    assert(table.read(spark).count() == before.length.toLong + 7)
+  }
+
   test("windowed tier rollup emits finalized windows") {
     import spark.implicits._
     val turnCfg = Synth.TurnGenConfig(nConvs = 6, turnsPerConv = 6, nGenes = 12)
