@@ -108,6 +108,23 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TierSelect.validate(Left("bogus")) }
   }
 
+  test("S1: multi-file reads number lines per file (reference batch unit)") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv_multi")
+    def write(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        (("Gene\tVariant_dna\tVariant_prot" +: rows).mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+    write("a.txt", Seq("G1\tc.1A>T\tp.K1N", "G2\tc.2A>T\tp.K2N",
+      "G3\tc.3A>T\tp.K3N"))
+    write("b.txt", Seq("G4\tc.4A>T\tp.K4N", "G5\tc.5A>T\tp.K5N"))
+    val snv = TsvReader.readSnvs(spark, dir.toString + "/*.txt")
+    val byGene = snv.select("gene", "n_line").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each file numbers from 0 independently
+    assert(byGene("G1") == 0 && byGene("G2") == 1 && byGene("G3") == 2)
+    assert(byGene("G4") == 0 && byGene("G5") == 1)
+  }
+
   test("S8: YAML dump formats rows as list items with typed scalars") {
     import spark.implicits._
     val df = Seq(
