@@ -101,6 +101,34 @@ class ReformatSpec extends AnyFunSuite {
     assert(graft.ref.RefModel.buildVarMap(flat.toSeq).nonEmpty)
   }
 
+  test("S5: randomized drug-list/interaction cases match the transcription") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("DAB", "tram ", " Vem", "cetux", "ERL", "dab", "X+Y")
+    val inters = Vector(null, null, "SUBSTITUTES", "Substitutes",
+      "COMBINATION", "SEQUENTIAL", " sequential ")
+    val cases = (0 until 300).map { i =>
+      val n = rnd.nextInt(4) // 0..3 drugs
+      val drugs = Seq.fill(n)(pool(rnd.nextInt(pool.size)))
+      (i, drugs, inters(rnd.nextInt(inters.size)))
+    }
+    val raw = cases.map { case (i, drugs, inter) =>
+      RawEvidenceLeaf(s"G$i", i.toString, "V", "PREDICTIVE", "CANCER",
+        drugs, inter, "SUPPORTS", "S", "A", "PUBMED", i.toString,
+        "ACCEPTED", "SOMATIC")
+    }
+    val got = ReformatCivic.reshapeDrugs(spark.createDataset(raw).toDF())
+      .select(col("var_id"), col("drug_order"), col("drug"))
+      .as[(String, Int, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    for ((i, drugs, inter) <- cases) {
+      val want = refReshape(drugs, Option(inter))
+      assert(got(i.toString) == want,
+        s"case $i drugs=$drugs inter=$inter: got ${got(i.toString)}, want $want")
+    }
+  }
+
   test("A7: cohort stats tier fractions and drug-consensus distribution") {
     val stats = CohortStats.perConversation(Pipeline.run(spark,
       Synth.TurnGenConfig(nConvs = 30, turnsPerConv = 10, nGenes = 20)))
