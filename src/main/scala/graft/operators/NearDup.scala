@@ -44,9 +44,13 @@ object NearDup {
     * lost to a capped bucket are still found via their other bands.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      nShingle: Int = 3, k: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.7,
+                      nShingle: Int = 3, k: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.7,
                       maxBucket: Int = 10000): DataFrame = {
+    // default banding k=64/b=16 (r=4): P(candidate) = 0.988 at exactly
+    // J=0.7 and 0.9998 at J=0.8 — callers needing oracle-grade recall
+    // at a lower threshold pass r=2 banding (e.g. k=64/b=32, as q14
+    // does); callers trading recall for cost pass fewer bands
     val rows = k / bands
     val withSh = docs
       .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh"))
