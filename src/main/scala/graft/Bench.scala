@@ -26,7 +26,12 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release the near-dup operators' persisted intermediates AFTER
+      // timing: the cache lifetime is per-operator, and letting blocks
+      // accumulate across 36 queries distorts later queries' memory
+      graft.operators.NearDup.unpersistAll()
+      (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

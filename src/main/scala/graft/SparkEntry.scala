@@ -459,9 +459,14 @@ object SparkEntry {
     }),
     "q36_jaccard_exact" -> ((s, dir) => {
       // EXACT n-gram Jaccard near-dup (inverted shingle join, no
-      // hashing approximation) — the exact counterpart of q14
+      // hashing approximation) — the exact counterpart of q14. The
+      // explicit stop-shingle cap bounds the posting self-join at
+      // O(maxDocFreq²) per shingle; at the tested scales no shingle's
+      // doc-frequency reaches it, so the uncapped DuckDB oracle must
+      // agree bit-for-bit (cap-vs-uncapped recall pinned in DataOpsSpec)
       operators.NearDup.jaccardNearDups(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxDocFreq = 10000)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q35_embed_neardup" -> ((s, dir) => {

@@ -17,14 +17,22 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // engine-produced relations FIRST: oracle SQL reads them back via
     // read_parquet, and q28 must see the same (session-cached) IVF
-    // candidates the dump materialized
-    val relDir = new java.io.File(outDir, "_rel").getAbsolutePath
+    // candidates the dump materialized. The dump dir lives NEXT TO
+    // outDir, not inside it: the driver's checker enumerates every
+    // outDir subdirectory as a query result, and the array-columned
+    // dump relations made its pandas compare emit a spurious `_rel`
+    // error row (CORRECTNESS_r02). The oracle SQL substitutes this
+    // absolute path, so the location is otherwise arbitrary.
+    val relDir = new java.io.File(
+      new java.io.File(outDir).getAbsoluteFile.getParentFile,
+      "graft_rel").getAbsolutePath
     SparkEntry.relationDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$relDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] dump $name failed: ${e.getMessage}")
       }
+      graft.operators.NearDup.unpersistAll()
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -32,6 +40,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.operators.NearDup.unpersistAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

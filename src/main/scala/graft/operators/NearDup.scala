@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** Intermediate relations persisted by the near-dup operators (shingle
+    * sets, embedding vectors). Tracked so long-lived sessions that run
+    * many near-dup queries (Bench, Verify) can release the cached blocks
+    * between operators instead of accumulating them for the session's
+    * lifetime — call `unpersistAll()` after the final action consuming a
+    * near-dup result.
+    */
+  private val persistedRelations =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedRelations.add(p)
+    p
+  }
+
+  /** Release every intermediate relation the near-dup operators have
+    * persisted so far. Safe to call at any time: an in-flight plan that
+    * still references an unpersisted relation recomputes it lazily.
+    */
+  def unpersistAll(): Unit = {
+    var df = persistedRelations.poll()
+    while (df != null) { df.unpersist(false); df = persistedRelations.poll() }
+  }
+
   /** k minhash values over a shingle array, computed in ONE pass by the
     * native MinHashSigExpression (graft.plans.TextExpressions) — the
     * composed-Column form (k array_min/transform traversals) measured
@@ -52,9 +77,8 @@ object NearDup {
     // at a lower threshold pass r=2 banding (e.g. k=64/b=32, as q14
     // does); callers trading recall for cost pass fewer bands
     val rows = k / bands
-    val withSh = docs
-      .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSh = persistTracked(docs
+      .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh")))
     // banded keys carry ONLY (doc, band, bucket): the shingle arrays
     // never ride through the band shuffle or the candidate dedup —
     // payload-light shuffles are what survive a 100x scale-up
@@ -94,11 +118,20 @@ object NearDup {
     * |A∩B| / (|A|+|B|-|A∩B|). The self-join is on shingle keys (the
     * inverted-index shape), never an all-pairs cross join; `maxDocFreq`
     * drops shingles appearing in more than that many docs before the
-    * join — the standard stop-shingle cap against quadratic hot keys.
-    * With the cap at its default (0 = off) the result is exact; with a
-    * cap it is exact over the non-stop shingle vocabulary (documented
-    * approximation, asymmetric from LSH recall loss: a capped shingle
-    * reduces both intersection and union counts).
+    * join — the standard stop-shingle cap against quadratic hot keys
+    * (the posting self-join is O(df²) per shingle, so ONE boilerplate
+    * trigram shared by 10^6 docs would otherwise cost 10^12 join rows).
+    *
+    * Cap semantics: per-doc sizes are counted over the SAME capped
+    * posting list as the intersections, so the ratio is the exact
+    * Jaccard over the retained (non-stop) shingle vocabulary — not a
+    * bound. True near-dups share mostly RARE shingles, so pair recall
+    * at a given threshold is essentially unaffected by dropping hot
+    * shingles (pinned by the cap-vs-uncapped test in DataOpsSpec). The
+    * default cap (10000, matching `maxBucket` on the LSH paths) never
+    * fires at test scale; passing 0 disables the cap for a
+    * full-vocabulary exact run, which goes quadratic on hot shingles —
+    * it logs loudly because that regime must be a deliberate choice.
     *
     * This is the exact counterpart of `minhashNearDups`: same output
     * contract, O(sum of postings²) per shingle instead of O(corpus)
@@ -108,17 +141,27 @@ object NearDup {
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       nShingle: Int = 3, threshold: Double = 0.5,
-                      maxDocFreq: Int = 0): DataFrame = {
-    val withSh = docs
-      .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = withSh.select(col("doc"), size(col("sh")).as("n"))
-    val posting = withSh.select(col("doc"), explode(col("sh")).as("s"))
-    val capped =
+                      maxDocFreq: Int = 10000): DataFrame = {
+    if (maxDocFreq <= 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn("jaccardNearDups running UNCAPPED (maxDocFreq<=0): the " +
+          "posting self-join is O(df^2) per shingle and goes quadratic " +
+          "on hot shingles — bounded runs should pass maxDocFreq > 0")
+    // one persisted relation: the capped posting list is what every
+    // downstream consumer (sizes, both join sides) reads — persisting
+    // the pre-explode shingle arrays too would double the cache
+    // footprint for no extra scan savings
+    val posting = docs
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
+    val capped = persistTracked(
       if (maxDocFreq <= 0) posting
       else posting.join(
         posting.groupBy(col("s")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s"))
+          .filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s")))
+    // sizes over the capped postings: the ratio is then the exact
+    // jaccard of the retained-vocabulary shingle sets
+    val sizes = capped.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val a = capped.alias("a"); val b = capped.alias("b")
     val inter = a.join(b,
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -163,8 +206,8 @@ object NearDup {
   def embeddingNearDups(docs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.8, nBits: Int = 10,
                         nTables: Int = 64, maxBucket: Int = 10000): DataFrame = {
-    val base = docs.select(col(idCol).as("doc"), col(vecCol).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = persistTracked(
+      docs.select(col(idCol).as("doc"), col(vecCol).as("vec")))
     val sigs = base.select(col("doc"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("table"),
@@ -213,27 +256,46 @@ object NearDup {
     * trick: split the 64-bit signature into (maxHamming+1) chunks — two
     * docs within the distance bound must agree on at least one chunk,
     * so the join key is (chunk index, chunk value), never all-pairs.
+    *
+    * Same degenerate-bucket discipline as the MinHash and embedding
+    * paths: a chunk value shared by 10^6 short/templated documents
+    * (e.g. chunk 0 of a boilerplate-heavy corpus) would make the
+    * candidate self-join quadratic, so buckets above `maxBucket` are
+    * dropped (partial-aggregated counts, never a materialized member
+    * list); a pair lost to one capped chunk is still found via its
+    * other agreeing chunks. The candidate pairs are deduplicated as
+    * bare (doc_a, doc_b) ids BEFORE the signatures are re-attached, so
+    * the dedup exchange carries 16-byte rows, not signature payloads.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val withSig = docs.select(col(idCol).as("doc"),
-      simhash64(col(textCol)).as("sig"))
-    val chunks = withSig.select(col("doc"), col("sig"),
+    val withSig = persistTracked(docs.select(col(idCol).as("doc"),
+      simhash64(col(textCol)).as("sig")))
+    val chunks = withSig.select(col("doc"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * chunkBits)
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))
       }: _*)).as("ck"))
-      .select(col("doc"), col("sig"), col("ck.chunk"), col("ck.v"))
-    val a = chunks.alias("a"); val b = chunks.alias("b")
-    a.join(b,
+      .select(col("doc"), col("ck.chunk"), col("ck.v"))
+    val okBuckets = chunks.groupBy(col("chunk"), col("v"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") > 1)
+      .select(col("chunk"), col("v"))
+    val capped = chunks.join(okBuckets, Seq("chunk", "v"))
+    val a = capped.alias("a"); val b = capped.alias("b")
+    val cand = a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
         col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sA = withSig.select(col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val sB = withSig.select(col("doc").as("doc_b"), col("sig").as("sig_b"))
+    cand.join(sA, Seq("doc_a")).join(sB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -40,9 +40,25 @@ object OutputAssembly {
   def yamlLines(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
     val names = df.columns
+    // strings with control characters (newlines above all) switch to
+    // YAML double-quoted style with \n/\r/\t/\xNN escapes: a raw
+    // newline inside a single-quoted scalar would corrupt the document
+    // AND break the one-line-per-key .write.text contract
+    def quote(s: String): String =
+      if (s.forall(_ >= ' '))
+        "'" + s.replace("'", "''") + "'"
+      else "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\x${c.toInt}%02x"
+        case c => c.toString
+      } + "\""
     def scalar(v: Any): String = v match {
       case null => "~"
-      case s: String => "'" + s.replace("'", "''") + "'"
+      case s: String => quote(s)
       case b: Boolean => b.toString
       case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => n.toString
       case d: java.math.BigDecimal => d.toPlainString
@@ -50,7 +66,7 @@ object OutputAssembly {
       case d: java.sql.Date => "'" + d.toString + "'"
       case seq: scala.collection.Seq[_] =>
         seq.map(scalar).mkString("[", ", ", "]")
-      case other => "'" + other.toString.replace("'", "''") + "'"
+      case other => quote(other.toString)
     }
     df.map { row =>
       names.zipWithIndex.map { case (n, i) =>

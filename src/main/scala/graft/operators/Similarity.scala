@@ -108,13 +108,16 @@ object Similarity {
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     // fit on a capped sample: k-means quality needs only a sketch of the
-    // density, and a full-corpus fit is a non-starter at 10^12 rows
-    val n = corpus.count()
-    val fitInput =
-      if (n > maxFitRows) corpus.sample(withReplacement = false,
-        maxFitRows.toDouble / n, seed)
-      else corpus
-    val feat = fitInput.withColumn("features", toVec(col(vecCol)))
+    // density, and a full-corpus fit is a non-starter at 10^12 rows.
+    // limit() (not count()+sample()) bounds the fit WITHOUT a full
+    // pre-scan — LocalLimit short-circuits after maxFitRows rows, so
+    // the fit job touches a handful of input partitions instead of
+    // paying one extra full-corpus pass just to derive a fraction. The
+    // first-partitions bias is the documented trade; a corpus with
+    // pathological partition-order clustering should pre-shuffle or
+    // pass its own maxFitRows.
+    val feat = corpus.select(col(vecCol)).limit(maxFitRows)
+      .withColumn("features", toVec(col(vecCol)))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(10).fit(feat)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
@@ -129,13 +132,21 @@ object Similarity {
     val probeUdf = udf((a: Seq[Float]) =>
       centers.indices.sortBy(i => dist2(a, centers(i))).take(nProbe))
 
+    // candidate generation and dedup carry ONLY (cell, ids): the
+    // vectors never ride through the dropDuplicates exchange — they are
+    // re-attached per-candidate afterwards (same payload-light pattern
+    // as NearDup.embeddingNearDups)
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
-      .withColumn("cell", assignUdf(col("item_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .withColumn("cell", explode(probeUdf(col("query_vec"))))
-    c.join(broadcast(q), Seq("cell"))
+    val cCells = c.select(col("item_id"), assignUdf(col("item_vec")).as("cell"))
+    val qCells = q.select(col("query_id"),
+      explode(probeUdf(col("query_vec"))).as("cell"))
+    val cand = cCells.join(broadcast(qCells), Seq("cell"))
       .filter(col("item_id") =!= col("query_id"))
       .dropDuplicates("query_id", "item_id")
+      .select(col("query_id"), col("item_id"))
+    cand.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("item_id"))
       .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
   }
 
@@ -180,20 +191,29 @@ object Similarity {
   def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, nBits: Int = 12,
                     nTables: Int = 4): DataFrame = {
-    def sigs(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // signature rows and the candidate dedup carry ONLY (id, table,
+    // sig): the vectors never ride through the bucket join or the
+    // dropDuplicates exchange — they are re-attached per-candidate
+    // afterwards (same payload-light pattern as embeddingNearDups)
+    def sigs(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("table"),
             hyperplaneSig(col(vecCol), nBits, seed = 7 + t).as("sig"))
         }: _*)).as("ts"))
-        .select(col(id), col(vec), col("ts.table"), col("ts.sig"))
-    val c = sigs(corpus, "item_id", "item_vec")
-    val q = sigs(queries, "query_id", "query_vec")
-    c.join(q,
-        c("table") === q("table") && c("sig") === q("sig") &&
+        .select(col(id), col("ts.table"), col("ts.sig"))
+    val cs = sigs(corpus, "item_id")
+    val qs = sigs(queries, "query_id")
+    val cand = cs.join(qs,
+        cs("table") === qs("table") && cs("sig") === qs("sig") &&
         col("item_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
+      .select(col("query_id"), col("item_id"))
       .dropDuplicates("query_id", "item_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    cand.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("item_id"))
+      .select(col("query_id"), col("query_vec"), col("item_id"), col("item_vec"))
   }
 
   /** LSH ANN top-k: candidates + exact quantized-cosine re-rank on the

@@ -143,16 +143,18 @@ object TextOps {
     graft.plans.TextExprs.hashEmbedding(
       org.apache.spark.sql.SparkSession.active, text, dim)
 
-  /** Document-table feature extraction used by entry queries. */
-  def documentStats(docs: DataFrame): DataFrame = {
-    val base = docs.select(
-      (col("doc_id") +: qualityFeatures(col("text"))
-        .map { case (n, c) => c.as(n) }): _*)
-    base
-      .join(docs.select(col("doc_id"),
+  /** Document-table feature extraction used by entry queries: ONE
+    * map-only select — every column is a pure expression over the same
+    * row, so there is nothing to join (a self-join here would be a
+    * needless full shuffle of the corpus).
+    */
+  def documentStats(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") +:
+        qualityFeatures(col("text")).map { case (n, c) => c.as(n) }) ++
+      Seq(
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"),
         fingerprintMd5(col("text")).as("fp_md5"),
-        bpeTokenCount(col("text")).as("n_bpe_tokens")), Seq("doc_id"))
-  }
+        bpeTokenCount(col("text")).as("n_bpe_tokens")): _*)
 }

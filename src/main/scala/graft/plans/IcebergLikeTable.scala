@@ -127,8 +127,10 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     * scale: one tiny file set per micro-batch) into one consolidated
     * snapshot. Iceberg rewrite-files semantics:
     *  1. the live batches' rows are rewritten under a fresh
-    *     `_batch_id = compactionId` partition (append — never touches
-    *     live partitions);
+    *     `_batch_id = compactionId` partition (dynamic overwrite of
+    *     partitions owned solely by this compaction — never touches
+    *     live partitions, and a retried crash-recovery run replaces
+    *     rather than duplicates a partial earlier write);
     *  2. the ATOMIC manifest rename is the commit point — it records
     *     `replaces:[..]`, flipping readers to the consolidated files in
     *     one step (a crash before it leaves the old snapshots live and
@@ -161,8 +163,15 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
           .map(i => s""""${partitionCols(i)}":"${r.get(i)}"""").mkString(",")
         s"""{$key,"rows":${r.getLong(partitionCols.length)}}"""
       }
+    // dynamic partition OVERWRITE, not append: every partition written
+    // here is solely owned by this compactionId, so a retry after a
+    // crash between the parquet write and the manifest rename replaces
+    // the orphaned files instead of appending the live rows a second
+    // time — the same idempotence contract replacePartitions gives
+    // micro-batches
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.withColumn("_batch_id", lit(compactionId))
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols :+ "_batch_id": _*)
       .parquet(root)
     Files.createDirectories(manifestDir)

@@ -16,6 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen; at 100 TB the signature step is
   * fact-side map work, so per-row constant factors dominate the bill.
   */
+/** Locale/charclass-stable tokenization primitives shared by the native
+  * text expressions. The declarative reference forms (and the DuckDB
+  * oracle) tokenize with locale-independent lower() and the Java regex
+  * \\s class — default-locale String.toLowerCase (Turkish dotted-I) and
+  * Character.isWhitespace (U+2028, U+001C...) both drift from that on
+  * non-ASCII input, so the native forms must pin Locale.ROOT and the
+  * exact [ \\t\\n\\x0B\\f\\r] class.
+  */
+object TextNorm {
+  @inline def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+  @inline def lower(u: UTF8String): String =
+    u.toString.toLowerCase(java.util.Locale.ROOT)
+}
+
 object SimHashHelper {
   /** splitmix64 of a token's chars — stateless, allocation-free. */
   def tokenHash(s: String, from: Int, until: Int): Long = {
@@ -34,15 +48,15 @@ object SimHashHelper {
     * text: bit i set when the majority of token hashes carry bit i.
     */
   def eval(u: UTF8String): Long = {
-    val s = u.toString.toLowerCase
+    val s = TextNorm.lower(u)
     val counts = new Array[Int](64)
     var n = 0
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
       if (i > start) {
         val h = tokenHash(s, start, i)
         var b = 0
@@ -109,16 +123,16 @@ object ShinglesHelper {
     * a 5k-doc pass); this is O(chars·n) with no allocation per shingle.
     */
   def eval(u: UTF8String, n: Int): ArrayData = {
-    val s = u.toString.toLowerCase
+    val s = TextNorm.lower(u)
     val len = s.length
     // token spans
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
       val st = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
       if (i > st) { starts.add(st); ends.add(i) }
     }
     val nTok = math.max(starts.size, 1) // empty text ≙ one empty token
@@ -288,14 +302,14 @@ object LangIdHelper {
     * as the declarative foldLeft does (outermost when() = last lang).
     */
   def eval(u: UTF8String): UTF8String = {
-    val s = u.toString.toLowerCase
+    val s = TextNorm.lower(u)
     val counts = new Array[Int](profiles.length)
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
       val st = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
       if (i > st) {
         val tok = s.substring(st, i)
         var p = 0

@@ -95,6 +95,40 @@ class DataOpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("jaccard stop-shingle cap preserves near-dup recall (cap vs uncapped)") {
+    val df = docsDf(corpus)
+    // the cap must actually fire for this test to mean anything
+    val dfreqs = df.select(explode(TextOps.shingles(col("text"), 3)).as("s"),
+        col("doc_id"))
+      .distinct().groupBy("s").count().collect().map(_.getLong(1))
+    val cap = 3
+    assert(dfreqs.count(_ > cap) > 0,
+      s"fixture has no shingle with df > $cap — cap never fires")
+    val uncapped = NearDup.jaccardNearDups(df, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.jaccardNearDups(df, "doc_id", "text",
+      threshold = 0.6, maxDocFreq = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // true near-dups share mostly RARE shingles: dropping hot shingles
+    // must not lose (or invent) any pair at this threshold
+    assert(capped.keySet == uncapped,
+      s"missing=${uncapped -- capped.keySet} extra=${capped.keySet -- uncapped}")
+    // capped jaccard is the EXACT jaccard of the retained-vocabulary
+    // shingle sets (sizes counted over capped postings, not a bound)
+    val sh = df.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val hot = df.select(explode(TextOps.shingles(col("text"), 3)).as("s"),
+        col("doc_id")).distinct()
+      .groupBy("s").count().filter(col("count") > cap)
+      .collect().map(_.getLong(0)).toSet
+    for (((a, b), j) <- capped) {
+      val ra = sh(a) -- hot; val rb = sh(b) -- hot
+      val want = ra.intersect(rb).size.toDouble / ra.union(rb).size
+      assert(math.abs(j - want) < 1e-3, s"capped jaccard ($a,$b)")
+    }
+  }
+
   test("embedding-cosine near-dup finds planted dups; agrees with brute force") {
     // long docs so a one-token change stays a HIGH-cosine near-dup in
     // shingle-feature space (3 of ~22 shingles differ -> cos ≈ 0.86)
@@ -234,9 +268,16 @@ class DataOpsSpec extends AnyFunSuite {
     val media = Multimodal.mediaTable(spark, 60)
     val meta = Multimodal.decode(media).collect()
     assert(meta.length == 60)
-    assert(meta.forall(m => m.width >= 16 && m.height >= 16))
-    assert(meta.filter(_.kind == "video").forall(_.n_frames >= 1))
-    assert(meta.filter(_.kind != "video").forall(_.n_frames == 1))
+    // real BMP decode: generator dims are 8..31 x 8..31, single frame
+    assert(meta.filter(_.kind == "image").forall(m =>
+      m.width >= 8 && m.width < 32 && m.height >= 8 && m.height < 32 &&
+        m.n_frames == 1))
+    // real WAV decode: 8 kHz, 1-2 channels, 128..383 frames
+    assert(meta.filter(_.kind == "audio").forall(m =>
+      m.width == 8000 && m.height >= 1 && m.height <= 2 &&
+        m.n_frames >= 128 && m.n_frames < 384))
+    assert(meta.filter(_.kind == "video").forall(m =>
+      m.width >= 16 && m.height >= 16 && m.n_frames >= 1))
 
     val feats = Multimodal.features(media)
     assert(feats.count() == 60)

@@ -150,6 +150,57 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup candidate joins read bucket-count-capped inputs") {
+    // every LSH-family path (minhash bands, simhash chunks, embedding
+    // tables) must filter degenerate buckets BEFORE the candidate
+    // self-join — the optimized plan carries the `_n <= maxBucket`
+    // count filter; without it one templated-corpus bucket makes the
+    // join quadratic
+    for (q <- Seq("q14_minhash_neardup", "q15_simhash_neardup",
+        "q35_embed_neardup")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan
+      val capFilters = plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "_n") => f
+      }
+      assert(capFilters.nonEmpty,
+        s"$q candidate join input is not bucket-count-filtered:\n$plan")
+    }
+  }
+
+  test("ANN candidate dedup exchanges carry ids only, never vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val cands = Seq(
+      "lsh" -> operators.Similarity.lshCandidates(emb, q, "vec_id", "embedding",
+        nBits = 4, nTables = 4),
+      "ivf" -> operators.Similarity.ivfCandidates(emb, q, "vec_id", "embedding",
+        nCentroids = 4, nProbe = 2))
+    for ((name, df) <- cands) {
+      val dedups = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.flatMap(_.references.map(_.name))
+              .toSet == Set("query_id", "item_id") => a
+      }
+      assert(dedups.nonEmpty, s"$name candidate dedup aggregate not found")
+      for (a <- dedups)
+        assert(a.output.forall(o => !o.name.endsWith("_vec")),
+          s"$name dedup exchange still carries vector payloads: ${a.output}")
+    }
+  }
+
+  test("documentStats is one map-only select: no join, no shuffle") {
+    val stats = operators.TextOps.documentStats(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val opt = stats.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, s"documentStats self-joins:\n$opt")
+    assert(!stats.queryExecution.executedPlan.toString.contains("Exchange"),
+      "documentStats shuffles")
+  }
+
   test("bucketed tables join co-located: no Exchange in the join plan") {
     // the 100 TB co-location story: pre-bucket both sides of a
     // recurring join on its key and the shuffle disappears entirely
