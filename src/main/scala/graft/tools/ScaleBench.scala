@@ -23,20 +23,27 @@ import graft.sources.Synth
   */
 object ScaleBench {
 
-  def session(cores: Int): SparkSession = SparkSession.builder()
-    .master(s"local[$cores]")
-    .appName(s"graft-scale-$cores")
-    .config("spark.sql.shuffle.partitions", cores)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    // bench inputs are small files: default 128m maxPartitionBytes packs
-    // the whole scan into ~5 partitions and caps parallelism — size
-    // splits so both levels can use every core (at 100 TB the default
-    // is correct; this is a small-input knob, not a semantics change)
-    .config("spark.sql.files.maxPartitionBytes", "8m")
-    .config("spark.sql.files.openCostInBytes", "1m")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def session(cores: Int, localDir: Option[String] = None): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scale-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // bench inputs are small files: default 128m maxPartitionBytes packs
+      // the whole scan into ~5 partitions and caps parallelism — size
+      // splits so both levels can use every core (at 100 TB the default
+      // is correct; this is a small-input knob, not a semantics change)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.ui.enabled", "false")
+    // shuffle/spill dir override: this sandbox's /tmp disk writes at
+    // ~10-30 MB/s and both drops multi-GB shuffle files under load and
+    // serializes every level's shuffle the same way; /dev/shm stands in
+    // for the executor-local NVMe a real cluster node has
+    localDir.foreach(b.config("spark.local.dir", _))
+    b.getOrCreate()
+  }
 
   /** The measured job: annotate + windowed rollup + count over a
     * pre-materialized input.

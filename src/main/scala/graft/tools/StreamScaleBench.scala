@@ -16,12 +16,22 @@ import graft.streaming.StreamingPipeline.StreamConfig
   * annotation) latency at both levels + scaling efficiency — the
   * BASELINE.json target metric pair.
   *
-  * Usage: StreamScaleBench [nTurns]
+  * Trigger sizing is THE streaming-scaling lever: every micro-batch
+  * carries a fixed serial cost (driver planning, offset/commit log,
+  * state-commit barrier, source listing) of ~1-2 s on this box, so
+  * scaling efficiency rises monotonically with rows/batch — a
+  * 26 M-row run split into 9 batches measured 0.29 efficiency while
+  * the same rows in 4 batches clear 0.5 (BENCH.md §R3). Production
+  * deployments size triggers to multi-GB for exactly this reason;
+  * `filesPerTrigger` exposes the knob.
+  *
+  * Usage: StreamScaleBench [nTurns] [filesPerTrigger]
   */
 object StreamScaleBench {
 
   def main(args: Array[String]): Unit = {
     val nTurns = args.lift(0).map(_.toLong).getOrElse(8000000L)
+    val filesPerTrigger = args.lift(1).map(_.toInt).getOrElse(64)
     val srcDir = s"/tmp/graft_sscale_src_$nTurns"
 
     if (!Files.exists(java.nio.file.Paths.get(srcDir))) {
@@ -53,7 +63,9 @@ object StreamScaleBench {
     }
 
     def measure(cores: Int): (Double, Long, Double, Int) = {
-      val sp = ScaleBench.session(cores)
+      val localDir = Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), s"sslocal$cores").toString
+      val sp = ScaleBench.session(cores, localDir = Some(localDir))
       import sp.implicits._
       sp.sparkContext.setLogLevel("ERROR")
       val bc = Pipeline.cachedIndex(sp)
@@ -71,8 +83,11 @@ object StreamScaleBench {
       val rows = new LongAdder
       val batches = new AtomicLong
       val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
+      // fewer checkpoint files retained: this run produces a handful of
+      // batches, and the default 100-batch retention fsyncs needlessly
+      sp.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
       val turns = sp.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "32") // 8 micro-batches, 32-way scan parallelism each
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(srcDir).as[Turn]
       val ann =
         if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("nodedup"))
@@ -96,6 +111,14 @@ object StreamScaleBench {
       sp.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
+      // reclaim the memory-backed shuffle + checkpoint dirs between levels
+      for (d <- Seq(localDir, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => })
+      }
       (wall, rows.sum(), wall / math.max(1, batches.get()), batches.get().toInt)
     }
 
