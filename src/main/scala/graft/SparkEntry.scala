@@ -469,6 +469,22 @@ object SparkEntry {
         maxDocFreq = 10000)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "q37_dedup_keep_first" -> ((s, dir) => {
+      // dedup plan over the exact-jaccard near-dup pairs: keep the
+      // smallest id of each near-dup star (left_anti against doc_b)
+      val docs = t(s, dir, "documents")
+      val pairs = operators.NearDup.jaccardNearDups(
+        docs, "doc_id", "text", threshold = 0.5, maxDocFreq = 10000)
+      operators.NearDup.dedupKeepFirst(docs, "doc_id", pairs)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q38_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
     "q35_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup over text-derived feature-hash
       // embeddings: LSH-bucketed candidates, quantized-cosine verify
@@ -786,6 +802,45 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE jaccard >= 0.5 ORDER BY 1, 2""",
+    "q37_dedup_keep_first" ->
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN
+           (SELECT doc_b FROM pairs WHERE jaccard >= 0.5)
+         ORDER BY doc_id""",
+    "q38_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+           length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS digit_ratio,
+           round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was'], t))) * 1.0
+             / greatest(length(string_split_regex(trim(lower(text)), '\s+')), 1), 4) AS stopword_ratio,
+           round(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) * 1.0
+             / greatest(length(string_split_regex(trim(lower(text)), '\s+')), 1), 4) AS uniq_ratio
+         FROM documents)
+         SELECT doc_id,
+             CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                  THEN 1.0 ELSE 0.3 END AS DOUBLE) *
+             CAST(CASE WHEN stopword_ratio >= 0.05
+                  THEN 1.0 ELSE 0.5 END AS DOUBLE) *
+             uniq_ratio *
+             (1 - least(punct_ratio + digit_ratio, CAST(1.0 AS DOUBLE)))
+           AS quality
+         FROM f ORDER BY doc_id""",
     "q35_embed_neardup" ->
       s"""WITH e AS (SELECT doc_id, vec FROM ${rel("doc_embeddings")}),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -208,12 +208,12 @@ object NearDup {
                         nTables: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val base = persistTracked(
       docs.select(col(idCol).as("doc"), col(vecCol).as("vec")))
+    // one-pass multi-table signatures (bit-identical to per-table
+    // hyperplaneSig calls at seeds 101..101+nTables-1; PlansSpec pin)
     val sigs = base.select(col("doc"),
-      explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("table"),
-          Similarity.hyperplaneSig(col("vec"), nBits, seed = 101 + t).as("sig"))
-      }: _*)).as("ts"))
-      .select(col("doc"), col("ts.table"), col("ts.sig"))
+      posexplode(Similarity.hyperplaneSigs(col("vec"), nBits, nTables,
+        seedBase = 101)))
+      .toDF("doc", "table", "sig")
     // cap degenerate buckets, as in the MinHash path
     val okBuckets = sigs.groupBy(col("table"), col("sig"))
       .agg(count(lit(1)).as("_n"))

@@ -168,6 +168,16 @@ object Similarity {
     graft.plans.TextExprs.hyperplaneSig(
       org.apache.spark.sql.SparkSession.active, vec, nBits, seed)
 
+  /** All `nTables` signatures (seeds seedBase..seedBase+nTables-1) in
+    * ONE vector pass, bit-identical to nTables `hyperplaneSig` calls —
+    * the xxhash chain's (slot, bit) prefix is hoisted out of the table
+    * loop (pinned in PlansSpec). This is the LSH signature hot path:
+    * per-table expressions re-walk the vector nTables times.
+    */
+  def hyperplaneSigs(vec: Column, nBits: Int, nTables: Int, seedBase: Int): Column =
+    graft.plans.TextExprs.hyperplaneSigs(
+      org.apache.spark.sql.SparkSession.active, vec, nBits, nTables, seedBase)
+
   /** The declarative signature form (kept as the cross-checkable
     * reference for the native expression's bit-exact semantics).
     */
@@ -197,11 +207,8 @@ object Similarity {
     // afterwards (same payload-light pattern as embeddingNearDups)
     def sigs(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
-        explode(array((0 until nTables).map { t =>
-          struct(lit(t).as("table"),
-            hyperplaneSig(col(vecCol), nBits, seed = 7 + t).as("sig"))
-        }: _*)).as("ts"))
-        .select(col(id), col("ts.table"), col("ts.sig"))
+        posexplode(hyperplaneSigs(col(vecCol), nBits, nTables, seedBase = 7)))
+        .toDF(id, "table", "sig")
     val cs = sigs(corpus, "item_id")
     val qs = sigs(queries, "query_id")
     val cand = cs.join(qs,

@@ -90,6 +90,13 @@ object TextOps {
   /** Composite quality score in [0,1]: rewards stopword presence and
     * lexical diversity, penalizes punctuation/digit noise — the usual
     * cheap pretraining-corpus heuristics.
+    *
+    * Deliberately NOT rounded: the factors are the (rounded,
+    * cross-engine-equal) feature ratios, so the IEEE product is
+    * bit-identical across engines — but re-rounding the product is NOT
+    * (a product landing exactly on a 5e-5 boundary, e.g. 0.18055,
+    * rounds differently under Spark's shortest-decimal HALF_UP vs an
+    * engine rounding the binary value; observed at sf0.01, q38).
     */
   def qualityScore(text: Column): Column = {
     val f = qualityFeatures(text).toMap
@@ -97,7 +104,7 @@ object TextOps {
       .otherwise(0.3)
     val stopOk = when(f("stopword_ratio") >= 0.05, 1.0).otherwise(0.5)
     val noise = f("punct_ratio") + f("digit_ratio")
-    round(lenOk * stopOk * f("uniq_ratio") * (lit(1.0) - least(noise, lit(1.0))), 4)
+    lenOk * stopOk * f("uniq_ratio") * (lit(1.0) - least(noise, lit(1.0)))
   }
 
   // ---------------------------------------------------------------------

@@ -375,6 +375,70 @@ object HyperplaneHelper {
   }
 }
 
+object HyperplaneMultiHelper {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** All `nTables` hyperplane signatures (seeds seedBase..seedBase+
+    * nTables-1) in ONE pass over the vector, BIT-IDENTICAL to nTables
+    * separate HyperplaneHelper.eval calls: the xxhash chain is
+    * hashInt(i,42) -> hashInt(j,·) -> hashInt(seed,·), so the first two
+    * links depend only on (slot, bit) and are hoisted out of the table
+    * loop — 3x fewer hashes than the per-table expression
+    * (dim·nBits·nTables·3 -> dim·nBits·(2 + nTables)) and one vector
+    * traversal instead of nTables. This is the LSH signature hot path:
+    * at 100 TB the signature step is fact-side map work, so per-row
+    * constant factors dominate the bill.
+    */
+  def eval(vec: ArrayData, nBits: Int, nTables: Int, seedBase: Int): ArrayData = {
+    val n = vec.numElements()
+    val sums = new Array[Double](nBits * nTables)
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      val h1 = XXH64.hashInt(i, 42L)
+      var j = 0
+      while (j < nBits) {
+        val h2 = XXH64.hashInt(j, h1)
+        var t = 0
+        while (t < nTables) {
+          val h = XXH64.hashInt(seedBase + t, h2)
+          val s = x * ((h & 1L) * 2 - 1).toDouble
+          sums(t * nBits + j) += s
+          t += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0
+      var j = 0
+      while (j < nBits) {
+        if (sums(t * nBits + j) > 0) sig |= (1 << j)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class HyperplaneSigsExpression(child: Expression, nBits: Int,
+    nTables: Int, seedBase: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneMultiHelper.eval(v.asInstanceOf[ArrayData], nBits, nTables, seedBase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HyperplaneMultiHelper$$.MODULE$$.eval($c, $nBits, $nTables, $seedBase);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HyperplaneSigExpression(child: Expression, nBits: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -432,6 +496,11 @@ object TextExprs {
         intLit(exprs(1), "hyperplane_sig nBits"),
         intLit(exprs(2), "hyperplane_sig seed")), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sigs", exprs => HyperplaneSigsExpression(exprs.head,
+        intLit(exprs(1), "hyperplane_sigs nBits"),
+        intLit(exprs(2), "hyperplane_sigs nTables"),
+        intLit(exprs(3), "hyperplane_sigs seedBase")), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles_hashed", exprs => HashedShinglesExpression(exprs.head,
         exprs(1) match {
           case Literal(v: Int, IntegerType) => v
@@ -472,5 +541,13 @@ object TextExprs {
     org.apache.spark.sql.functions.call_function("hyperplane_sig", c,
       org.apache.spark.sql.functions.lit(nBits),
       org.apache.spark.sql.functions.lit(seed))
+  }
+  def hyperplaneSigs(spark: SparkSession, c: Column, nBits: Int,
+      nTables: Int, seedBase: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("hyperplane_sigs", c,
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(seedBase))
   }
 }

@@ -43,6 +43,78 @@ object TsvReader {
       .option("mode", "FAILFAST")
       .csv(path)
 
+  /** Splittable single-file TSV scan for the huge-file regime (the
+    * documented alternative to the per-file window above): a 100 GB
+    * TSV must be read by MANY tasks, so `n_line` cannot come from a
+    * per-file window (one window task = one file). Instead the file is
+    * read through Hadoop TextInputFormat, whose record key is the
+    * line's BYTE OFFSET — a stable property of the file content,
+    * independent of the split plan — and dense 0-based line numbers
+    * are assigned in two passes:
+    *   1. per-split (minOffset, lineCount) -> driver prefix sums
+    *      (bytes-sized metadata, not data);
+    *   2. per-split base + local index (offsets ascend within a split).
+    * The numbering is therefore identical under ANY split size
+    * (pinned in SourcesSpec by re-reading with forced tiny splits).
+    * Quoted multi-line fields are not supported — the reference TSV
+    * format has none.
+    *
+    * `maxSplitBytes` forces a split ceiling (testing / small-file
+    * parallelism); 0 leaves the cluster default (128 MB).
+    */
+  def readTsvSplittable(spark: SparkSession, path: String,
+                        maxSplitBytes: Long = 0L): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    val lines = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .mapPartitions(_.map { case (off, text) =>
+        // Hadoop reuses the Writable instances: copy out
+        (off.get(), new String(text.getBytes, 0, text.getLength,
+          java.nio.charset.StandardCharsets.UTF_8))
+      })
+    // pass 1: per-split (minOffset, count) — tiny driver-side metadata
+    val stats = lines.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var min = Long.MaxValue
+      it.foreach { case (off, _) => n += 1; if (off < min) min = off }
+      Iterator((pid, min, n))
+    }.collect()
+    val bases: Map[Int, Long] = {
+      var acc = 0L
+      stats.filter(_._3 > 0).sortBy(_._2).map { case (pid, _, n) =>
+        val b = pid -> acc; acc += n; b
+      }.toMap
+    }
+    val bcBases = spark.sparkContext.broadcast(bases)
+    // pass 2: global line number = split base + local ordinal (offsets
+    // ascend within a split, so the local iterator order IS file order)
+    val numbered = lines.mapPartitionsWithIndex { (pid, it) =>
+      val base = bcBases.value.getOrElse(pid, 0L)
+      it.zipWithIndex.map { case ((_, line), i) => (base + i, line) }
+    }
+    val header = numbered.filter(_._1 == 0L).map(_._2).collect()
+    require(header.nonEmpty, s"empty TSV: $path")
+    val names = header.head.split("\t", -1)
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.StringType)) :+
+      org.apache.spark.sql.types.StructField(
+        "n_line", org.apache.spark.sql.types.LongType))
+    val width = names.length
+    val rows = numbered.filter(_._1 > 0L).map { case (gid, line) =>
+      val parts = line.split("\t", -1)
+      require(parts.length == width,
+        s"line ${gid - 1}: ${parts.length} fields, header has $width")
+      org.apache.spark.sql.Row.fromSeq(
+        parts.toIndexedSeq :+ (gid - 1L)) // 0-based BODY line number
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** S1: SNV reader. Required: gene/dna/prot; optional impact/exon;
     * extra columns carried through in an `extras` array. Emits the
     * reference's encoded variant key for parity-visible joins.
@@ -52,9 +124,28 @@ object TsvReader {
                dnaName: String = "Variant_dna",
                protName: String = "Variant_prot",
                impactName: String = "Variant_impact",
-               exonName: String = "Variant_exon"): DataFrame = {
-    val raw = readTsv(spark, path)
-    val cols = raw.columns
+               exonName: String = "Variant_exon"): DataFrame =
+    snvsFrom(withLineNumbers(readTsv(spark, path)),
+      geneName, dnaName, protName, impactName, exonName)
+
+  /** S1 over the splittable scan: same output contract as `readSnvs`,
+    * line numbers from the split-invariant byte-offset numbering — the
+    * reader for the one-huge-TSV regime.
+    */
+  def readSnvsSplittable(spark: SparkSession, path: String,
+                         geneName: String = "Gene",
+                         dnaName: String = "Variant_dna",
+                         protName: String = "Variant_prot",
+                         impactName: String = "Variant_impact",
+                         exonName: String = "Variant_exon",
+                         maxSplitBytes: Long = 0L): DataFrame =
+    snvsFrom(readTsvSplittable(spark, path, maxSplitBytes),
+      geneName, dnaName, protName, impactName, exonName)
+
+  private def snvsFrom(numbered: DataFrame,
+                       geneName: String, dnaName: String, protName: String,
+                       impactName: String, exonName: String): DataFrame = {
+    val cols = numbered.columns.filterNot(_ == "n_line")
     for (c <- Seq(geneName, dnaName, protName))
       require(cols.contains(c), s"Required column '$c' could not be found in header")
     val hasImpact = cols.contains(impactName)
@@ -62,7 +153,7 @@ object TsvReader {
     val extraCols = cols.filterNot(c =>
       c == geneName || c == dnaName || c == protName ||
       (hasImpact && c == impactName) || (hasExon && c == exonName))
-    withLineNumbers(raw)
+    numbered
       .select(
         col(geneName).as("gene"),
         col(dnaName).as("dna"),

@@ -50,6 +50,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expr.select("logfc").collect().forall(r => !r.isNullAt(0)))
   }
 
+  test("splittable TSV reader: parity with the per-file reader + split invariance") {
+    // parity on the committed reference example
+    val snvPath = "/root/reference/civicutils/data/example_snv.txt"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("n_line", "gene", "dna", "prot", "impact", "exon", "variant_key")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(TsvReader.readSnvsSplittable(spark, snvPath)) ==
+      canon(TsvReader.readSnvs(spark, snvPath)))
+
+    // split invariance: a 400-row TSV forced into ~byte-sized splits
+    // must number lines identically to the single-split read
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    val f = s"$dir/big.tsv"
+    val body = (0 until 400).map(i => s"G$i\tc.${i}A>G\tp.V${i}E")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      "Gene\tVariant_dna\tVariant_prot\n" + body.mkString("\n") + "\n")
+    def numbered(maxSplit: Long): Map[Long, String] =
+      TsvReader.readTsvSplittable(spark, f, maxSplit)
+        .collect().map(r => r.getAs[Long]("n_line") -> r.getAs[String]("Gene")).toMap
+    val single = numbered(0L)
+    val tiny = numbered(256L) // forces many input splits
+    assert(TsvReader.readTsvSplittable(spark, f, 256L).rdd.getNumPartitions > 4,
+      "tiny maxSplitBytes failed to force multiple splits")
+    assert(single == tiny, "line numbering changed with the split plan")
+    // dense, 0-based, in file order
+    assert(single.keySet == (0L until 400L).toSet)
+    for (i <- 0 until 400) assert(single(i.toLong) == s"G$i")
+  }
+
   test("S10: multi-annotation cells explode with 1-1 zip and c.-filter") {
     val dir = java.nio.file.Files.createTempDirectory("multi").toString
     val f = s"$dir/multi.tsv"

@@ -155,4 +155,21 @@ class PlansSpec extends AnyFunSuite {
       assert(drift == 0, s"signature drift at nBits=$nBits seed=$seed")
     }
   }
+
+  test("multi-table hyperplane signatures == per-table signatures, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300)
+    for ((nBits, nTables, base) <- Seq((10, 8, 101), (4, 8, 7), (12, 3, 9))) {
+      val drift = emb.select(
+        graft.operators.Similarity.hyperplaneSigs(
+          col("embedding"), nBits, nTables, base).as("multi"),
+        array((0 until nTables).map(t =>
+          graft.operators.Similarity.hyperplaneSig(
+            col("embedding"), nBits, base + t)): _*).as("per"))
+        .filter(col("multi") =!= col("per")).count()
+      assert(drift == 0,
+        s"multi-table drift at nBits=$nBits nTables=$nTables base=$base")
+    }
+  }
 }
