@@ -48,13 +48,15 @@ object NearDup {
       org.apache.spark.sql.SparkSession.active, shingleCol, k)
 
   /** LSH band keys: hash r consecutive signature slots per band.
-    * Probability two docs share a band = 1-(1-J^r)^b.
+    * Probability two docs share a band = 1-(1-J^r)^b. xxhash64 folds
+    * the sliced long array directly — no per-band string
+    * materialization (bucket values are internal join keys only; the
+    * exact-jaccard verify pass decides membership).
     */
   def bandKeys(sigCol: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(sigCol, b * rows + 1, rows))).as("bucket"))
+        xxhash64(slice(sigCol, b * rows + 1, rows)).as("bucket"))
     }: _*)
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with
