@@ -30,9 +30,22 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Integer-quantized dot product: round(x*scale) per slot, exact
-    * 64-bit integer accumulation.
+    * 64-bit integer accumulation. At the default scale this is the
+    * native one-pass QuantizedDotExpression (float arrays) — the
+    * composed aggregate/zip_with form walks both arrays through
+    * interpreted lambdas, which dominated the brute-force scoring
+    * pass (q10); non-default scales keep the declarative form.
     */
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
+    if (scale == 1000)
+      graft.plans.TextExprs.quantizedDot(
+        org.apache.spark.sql.SparkSession.active, a, b)
+    else quantizedDotColumnar(a, b, scale)
+
+  /** The declarative quantized-dot form (cross-checkable reference for
+    * the native expression; any numeric array type).
+    */
+  def quantizedDotColumnar(a: Column, b: Column, scale: Int = 1000): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         round(x.cast("double") * scale).cast("long") *
@@ -60,8 +73,8 @@ object Similarity {
     * for the native expression; any numeric array type).
     */
   def quantizedCosineColumnar(a: Column, b: Column, scale: Int = 1000): Column =
-    quantizedDot(a, b, scale).cast("double") /
-      sqrt((quantizedDot(a, a, scale) * quantizedDot(b, b, scale)).cast("double"))
+    quantizedDotColumnar(a, b, scale).cast("double") /
+      sqrt((quantizedDotColumnar(a, a, scale) * quantizedDotColumnar(b, b, scale)).cast("double"))
 
   /** Exact per-query top-k re-rank of a candidate set
     * (query_id, item_id, query_vec, item_vec) by quantized cosine.

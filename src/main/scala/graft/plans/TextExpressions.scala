@@ -266,6 +266,45 @@ object QuantizedCosineHelper {
   }
 }
 
+object QuantizedDotHelper {
+  /** One-pass integer-quantized dot product (fixed scale 1000),
+    * bit-identical to the aggregate/zip_with Column form: per-slot
+    * HALF_UP round to long, exact 64-bit accumulation. The composed
+    * form walks both arrays through interpreted lambdas — it dominated
+    * q10's brute-force scoring pass.
+    */
+  def eval(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == b.numElements(), "quantized_dot requires equal-length vectors")
+    var qd = 0L
+    var i = 0
+    while (i < n) {
+      qd += q(a.getFloat(i)) * q(b.getFloat(i))
+      i += 1
+    }
+    qd
+  }
+
+  @inline private def q(f: Float): Long = {
+    val v = f.toDouble * 1000
+    if (v >= 0) java.lang.Math.round(v) else -java.lang.Math.round(-v)
+  }
+}
+
+case class QuantizedDotExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_dot"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    QuantizedDotHelper.eval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.plans.QuantizedDotHelper$$.MODULE$$.eval($l, $r);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class QuantizedCosineExpression(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -492,6 +531,9 @@ object TextExprs {
       "quantized_cosine", exprs =>
         QuantizedCosineExpression(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantized_dot", exprs =>
+        QuantizedDotExpression(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSigExpression(exprs.head,
         intLit(exprs(1), "hyperplane_sig nBits"),
         intLit(exprs(2), "hyperplane_sig seed")), "internal")
@@ -535,6 +577,10 @@ object TextExprs {
   def quantizedCosine(spark: SparkSession, a: Column, b: Column): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("quantized_cosine", a, b)
+  }
+  def quantizedDot(spark: SparkSession, a: Column, b: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("quantized_dot", a, b)
   }
   def hyperplaneSig(spark: SparkSession, c: Column, nBits: Int, seed: Int): Column = {
     registerAll(spark)

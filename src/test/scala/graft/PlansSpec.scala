@@ -143,6 +143,18 @@ class PlansSpec extends AnyFunSuite {
     assert(drift == 0)
   }
 
+  test("native quantized dot is bit-identical to the Column form") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select(col("embedding").as("va")).limit(200)
+      .crossJoin(emb.select(col("embedding").as("vb")).limit(50))
+    val drift = pairs.select(
+      graft.operators.Similarity.quantizedDot(col("va"), col("vb")).as("nat"),
+      graft.operators.Similarity.quantizedDotColumnar(col("va"), col("vb")).as("dec"))
+      .filter(col("nat") =!= col("dec")).count()
+    assert(drift == 0)
+  }
+
   test("native hyperplane signature is bit-identical to the Column form") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
