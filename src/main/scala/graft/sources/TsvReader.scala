@@ -55,9 +55,15 @@ object TsvReader {
     *      (bytes-sized metadata, not data);
     *   2. per-split base + local index (offsets ascend within a split).
     * The numbering is therefore identical under ANY split size
-    * (pinned in SourcesSpec by re-reading with forced tiny splits).
+    * (pinned in OperatorsSpec by re-reading with forced tiny splits).
     * Quoted multi-line fields are not supported — the reference TSV
     * format has none.
+    *
+    * This is the engine's one deliberate RDD use (the "unless forced"
+    * case of the no-RDD contract): no DataFrame source exposes the
+    * per-line byte offset that makes split-invariant numbering
+    * possible; everything downstream of the two numbering passes is a
+    * plain DataFrame again.
     *
     * `maxSplitBytes` forces a split ceiling (testing / small-file
     * parallelism); 0 leaves the cluster default (128 MB).

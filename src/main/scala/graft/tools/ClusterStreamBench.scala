@@ -21,12 +21,19 @@ import graft.streaming.StreamingPipeline.StreamConfig
   *     --class graft.tools.ClusterStreamBench \
   *     --executor-cores 4 --executor-memory 10g \
   *     --total-executor-cores <8|32> \
-  *     target/scala-2.13/civicutilsspark_2.13-0.1.0.jar 25000000 <8|32>
+  *     --conf spark.local.dir=/dev/shm/graft_local \
+  *     target/scala-2.13/civicutilsspark_2.13-0.1.0.jar 25000000 <8|32> [filesPerTrigger]
+  *
+  * Trigger sizing (arg 3, default 64) is the streaming-scaling lever —
+  * see StreamScaleBench / BENCH.md §R3.1; spark.local.dir should point
+  * at fast local storage (the sandbox /tmp disk is the bottleneck
+  * otherwise — a real executor has NVMe).
   */
 object ClusterStreamBench {
   def main(args: Array[String]): Unit = {
     val nTurns = args.lift(0).map(_.toLong).getOrElse(25000000L)
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
+    val filesPerTrigger = args.lift(2).map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder().appName("graft-cluster-stream").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
@@ -60,8 +67,9 @@ object ClusterStreamBench {
     val rows = new LongAdder
     val batches = new AtomicLong
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val turns = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "32")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(srcDir).as[Turn]
     val ann = StreamingPipeline.annotations(
       turns, bc, StreamConfig(partitions = cores))
