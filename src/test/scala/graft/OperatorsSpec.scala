@@ -170,6 +170,15 @@ class OperatorsSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("yamlout").toString
     OutputAssembly.yamlLines(df).write.mode("overwrite").text(s"$out/y")
     assert(spark.read.text(s"$out/y").count() == 10) // 5 lines per row
+
+    // control characters must NOT break the one-line-per-key contract:
+    // strings containing them switch to double-quoted style with escapes
+    val ctl = Seq(("line1\nline2\ttab\rcr", 7)).toDF("s", "i")
+    val cl = OutputAssembly.yamlLines(ctl).collect()
+    assert(cl.length == 1 && !cl(0).matches("(?s).*: [^\"]*\n[^ ].*"))
+    assert(cl(0) == "- s: \"line1\\nline2\\ttab\\rcr\"\n  i: 7")
+    OutputAssembly.yamlLines(ctl).write.mode("overwrite").text(s"$out/c")
+    assert(spark.read.text(s"$out/c").count() == 2) // 2 keys = 2 lines
   }
 
   test("S6/P1-P3: output assembly renders the reference string formats") {
