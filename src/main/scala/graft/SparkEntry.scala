@@ -494,6 +494,22 @@ object SparkEntry {
         "doc_id", "vec", threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "q39_stream_neardup" -> ((s, dir) => {
+      // the STREAMING near-dup operator (bounded per-bucket
+      // flatMapGroupsWithState) executed on a batch Dataset: with no
+      // watermark/eviction and the cap unhit it must equal the batch
+      // simhash path row-for-row — the same oracle as q15
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+        .as[streaming.StreamingPipeline.DocEvent]
+      streaming.StreamingPipeline.simhashNearDupPairs(docs,
+          streaming.StreamingPipeline.StreamConfig(), maxHamming = 3,
+          maxPerBucket = 100000)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q34_ss_dim_join" -> ((s, _) => {
       ssVersionedAnn(s)
         .groupBy(col("epoch"), col("highest_tier"))
@@ -641,6 +657,13 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE jaccard >= 0.5 ORDER BY 1, 2""",
     "q15_simhash_neardup" ->
+      s"""WITH s AS (SELECT doc_id, sig FROM ${rel("doc_simhash")})
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY 1, 2""",
+    "q39_stream_neardup" ->
       s"""WITH s AS (SELECT doc_id, sig FROM ${rel("doc_simhash")})
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming

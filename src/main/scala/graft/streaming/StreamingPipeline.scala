@@ -173,6 +173,124 @@ object StreamingPipeline {
         GroupStateTimeout.EventTimeTimeout)(fsm)
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming near-duplicate detection
+  // ---------------------------------------------------------------------
+
+  final case class DocEvent(doc_id: Long, text: String, ts: Timestamp)
+
+  final case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int,
+                               ts: Timestamp)
+
+  final case class ChunkRow(doc_id: Long, sig: Long, ts: Timestamp,
+                            chunk: Int, v: Long)
+
+  /** Bounded per-bucket state: the most recent `maxPerBucket`
+    * (doc_id, sig, tsMillis) triples — never the raw texts.
+    */
+  final case class BucketState(entries: List[(Long, Long, Long)])
+
+  /** STREAMING near-duplicate pair detection: the streaming member of
+    * the dedup family (batch counterpart: NearDup.simhashNearDups).
+    * Emits (doc_a, doc_b, hamming) for every pair of documents within
+    * SimHash hamming distance `maxHamming` whose arrivals fall within
+    * `retentionMs` of each other — the bounded-horizon semantic a
+    * 10^12-doc stream needs (global all-history dedup is a batch job;
+    * the stream suppresses the duplicates that actually cluster in
+    * time: re-crawls, retries, template bursts).
+    *
+    * Shape: one-pass native simhash per doc (map-only), pigeonhole
+    * chunk explode (a pair within the bound must agree on >=1 of
+    * maxHamming+1 chunks), then flatMapGroupsWithState keyed by
+    * (chunk, value) holding a BOUNDED recent-doc list per bucket.
+    * Cross-bucket duplicate emission is eliminated WITHOUT a second
+    * stateful stage: a pair is emitted only by the SMALLEST agreeing
+    * chunk's bucket (both signatures are in hand when the pair meets,
+    * so every bucket computes the same minimum — exactly-once per pair
+    * by construction).
+    *
+    * Bounds, explicitly: per-bucket state is capped at `maxPerBucket`
+    * entries (oldest dropped — the streaming analog of the batch
+    * paths' `maxBucket` degenerate-bucket cap) and entries age out at
+    * the current watermark or past `retentionMs`, whichever is
+    * tighter — so the effective pairing horizon is
+    * min(retentionMs, watermark delay): choose the watermark delay to
+    * match the dedup horizon you want. A pair whose earlier doc was
+    * evicted from the min-agreeing bucket is dropped; that is the
+    * documented bounded-state trade, identical in spirit to the batch
+    * cap.
+    *
+    * Executed on a batch Dataset (no watermark, no eviction), the
+    * output equals `NearDup.simhashNearDups` row-for-row — pinned in
+    * StreamingSpec and by the q39 DuckDB oracle.
+    */
+  def simhashNearDupPairs(docs: Dataset[DocEvent], cfg: StreamConfig,
+                          maxHamming: Int = 3, maxPerBucket: Int = 64,
+                          retentionMs: Long = 24L * 3600 * 1000): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    // batch-mode GroupState has no watermark and rejects timeout calls
+    val streaming = docs.isStreaming
+
+    def chunkOf(sig: Long, c: Int): Long =
+      (sig >>> (c * chunkBits)) & ((1L << chunkBits) - 1)
+    def minAgreeingChunk(a: Long, b: Long): Int = {
+      var c = 0
+      while (c < nChunks && chunkOf(a, c) != chunkOf(b, c)) c += 1
+      c // < nChunks whenever hamming(a,b) <= maxHamming (pigeonhole)
+    }
+
+    def fsm(key: (Int, Long), rows: Iterator[ChunkRow],
+            state: GroupState[BucketState]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // batch-mode GroupState throws on watermark access
+      val wm = if (streaming && state.getCurrentWatermarkMs() > 0)
+        state.getCurrentWatermarkMs() else Long.MinValue
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      val out = Iterator.newBuilder[NearDupPair]
+      var newest = entries.headOption.map(_._3).getOrElse(Long.MinValue)
+      // group iterators carry no ordering guarantee: process this
+      // micro-batch in event-time arrival order so within-batch pairs
+      // attribute ts to the LATER doc deterministically
+      for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))) {
+        val t = r.ts.getTime
+        newest = math.max(newest, t)
+        val horizon = math.max(wm, newest - retentionMs)
+        entries = entries.filter(_._3 >= horizon)
+        for ((doc, sig, _) <- entries if doc != r.doc_id) {
+          val d = java.lang.Long.bitCount(sig ^ r.sig)
+          if (d <= maxHamming && minAgreeingChunk(sig, r.sig) == key._1)
+            out += NearDupPair(math.min(doc, r.doc_id),
+              math.max(doc, r.doc_id), d, r.ts)
+        }
+        // newest first; cap to the most recent maxPerBucket
+        entries = ((r.doc_id, r.sig, t) :: entries).take(maxPerBucket)
+      }
+      state.update(BucketState(entries))
+      if (streaming)
+        state.setTimeoutTimestamp(math.max(newest + retentionMs,
+          state.getCurrentWatermarkMs() + 1))
+      out.result()
+    }
+
+    val sigs = docs.select(col("doc_id"), col("ts"),
+      graft.operators.NearDup.simhash64(col("text")).as("sig"))
+    val watermarked =
+      if (docs.isStreaming) sigs.withWatermark("ts", cfg.watermark) else sigs
+    val chunks = watermarked.select(col("doc_id"), col("sig"), col("ts"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ts"), col("ck.chunk"), col("ck.v"))
+      .as[ChunkRow]
+    chunks.groupByKey(r => (r.chunk, r.v))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fsm)
+  }
+
   /** Start the per-turn annotation sink: exactly-once via checkpoint +
     * idempotent partition replace keyed (data_type, conv bucket).
     */

@@ -57,6 +57,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming near-dup pairs == batch simhash pairs (bounded state)") {
+    import spark.implicits._
+    import StreamingPipeline.DocEvent
+    // planted near-dup corpus (same construction as DataOpsSpec)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map { i =>
+      i -> Seq.fill(50)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val dups = (0L until 6L).map { i =>
+      val toks = base(i.toInt)._2.split(" "); toks(7) = "CHANGED"
+      (100L + i) -> toks.mkString(" ")
+    }
+    // 1s spacing, 1h watermark: the whole corpus sits inside the
+    // pairing horizon (= min(retention, watermark delay)) so the
+    // stream must find every batch pair
+    val corpus = (base ++ dups :+ (200L -> base(3)._2)).zipWithIndex.map {
+      case ((id, text), k) =>
+        DocEvent(id, text, new java.sql.Timestamp(1700000000000L + k * 1000L))
+    }
+
+    // batch ground truth over the same texts
+    val want = graft.operators.NearDup.simhashNearDups(
+        corpus.toDF().select(col("doc_id"), col("text")), "doc_id", "text",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+
+    // streamed in 3 micro-batches
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingPipeline.simhashNearDupPairs(mem.toDS(),
+        StreamConfig(watermark = "1 hour"), maxHamming = 3)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- corpus.grouped((corpus.size + 2) / 3)) {
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("neardup_out")
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+
+    // batch-mode execution of the SAME operator also equals the batch path
+    val batchGot = StreamingPipeline.simhashNearDupPairs(
+        spark.createDataset(corpus), StreamConfig(), maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batchGot == want)
+  }
+
+  test("streaming near-dup per-bucket cap bounds state on templated bursts") {
+    import spark.implicits._
+    import StreamingPipeline.DocEvent
+    // 300 IDENTICAL docs: every chunk bucket would hold all of them;
+    // cap 8 keeps only the most recent 8 per bucket
+    val burst = (0L until 300L).map(i =>
+      DocEvent(i, "the same templated boilerplate text every time",
+        new java.sql.Timestamp(1700000000000L + i * 1000L)))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingPipeline.simhashNearDupPairs(mem.toDS(),
+        StreamConfig(watermark = "10 minutes"), maxHamming = 3, maxPerBucket = 8)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- burst.grouped(100)) { mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val n = spark.table("neardup_cap").count()
+    // uncapped would emit 300*299/2 = 44850 pairs; capped: each arrival
+    // pairs with <= 8 retained predecessors
+    assert(n <= 300L * 8, s"cap did not bound emission: $n pairs")
+    assert(n >= 292L * 8, "cap should still pair against the retained window")
+  }
+
+  test("streaming near-dup horizon: pairs beyond the watermark are not emitted") {
+    import spark.implicits._
+    import StreamingPipeline.DocEvent
+    // identical docs 30 min apart with a 10-min watermark: by the time
+    // the second arrives, the first has aged out of every bucket
+    val t0 = 1700000000000L
+    val far = Seq(
+      DocEvent(1L, "same text here for both documents", new java.sql.Timestamp(t0)),
+      DocEvent(2L, "unrelated filler alpha beta gamma delta", new java.sql.Timestamp(t0 + 20 * 60000L)),
+      DocEvent(3L, "same text here for both documents", new java.sql.Timestamp(t0 + 30 * 60000L)))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingPipeline.simhashNearDupPairs(mem.toDS(),
+        StreamConfig(watermark = "10 minutes"), maxHamming = 3)
+      .writeStream.format("memory").queryName("neardup_horizon")
+      .outputMode(OutputMode.Append).start()
+    for (d <- far) { mem.addData(d); q.processAllAvailable() }
+    q.stop()
+    assert(spark.table("neardup_horizon").count() == 0,
+      "docs outside the watermark horizon must not pair")
+  }
+
   test("duplicates within watermark are dropped by (conv_id, turn_idx)") {
     import spark.implicits._
     val turnCfg = Synth.TurnGenConfig(nConvs = 10, turnsPerConv = 6,
