@@ -86,6 +86,10 @@ object Multimodal {
     require(buf.getShort(28) == 24, "only 24-bit BMP supported")
     require(buf.getInt(30) == 0, "only uncompressed (BI_RGB) BMP supported")
     require(width > 0 && height > 0, "top-down/degenerate BMP unsupported")
+    // truncated payloads must fail the decode, not AIOOBE a pixel read
+    require(payload.length.toLong >=
+      buf.getInt(10).toLong + (width * 3 + 3) / 4 * 4 * height.toLong,
+      "truncated BMP pixel data")
     (width, height)
   }
 
@@ -297,6 +301,7 @@ object Multimodal {
           val (_, channels, frames, base) = wavInfo(p)
           val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
           val n = frames * channels
+          require(n > 0, "empty WAV: no samples to featurize")
           var sum = 0.0; var sum2 = 0.0; var peak = 0; var zc = 0
           val hist = new Array[Int](4)
           var i = 0

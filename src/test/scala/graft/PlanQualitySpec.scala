@@ -140,7 +140,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("near-dup family plans never degrade to cartesian products") {
     for (q <- Seq("q14_minhash_neardup", "q15_simhash_neardup",
-        "q35_embed_neardup", "q36_jaccard_exact")) {
+        "q35_embed_neardup", "q36_jaccard_exact", "q39_stream_neardup")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
