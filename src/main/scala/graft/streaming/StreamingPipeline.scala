@@ -190,6 +190,35 @@ object StreamingPipeline {
     */
   final case class BucketState(entries: List[(Long, Long, Long)])
 
+  /** STREAMING exact content dedup: keep the first-arriving document
+    * per normalized-content fingerprint within the watermark horizon
+    * (the streaming member of the exact-dedup family; batch
+    * counterpart: the q06 fingerprint groupBy). The state key is the
+    * 8-byte `TextOps.fingerprint64` (lower/trim/whitespace-collapse),
+    * so re-crawls and formatting variants of the same text are
+    * suppressed while state stays 8 bytes per distinct document —
+    * the shape that survives a 10^12-doc stream.
+    */
+  def dedupByContent(docs: Dataset[DocEvent],
+                     cfg: StreamConfig): Dataset[DocEvent] = {
+    import docs.sparkSession.implicits._
+    val withFp = docs
+      .withColumn("_fp", graft.operators.TextOps.fingerprint64(col("text")))
+    val kept =
+      if (docs.isStreaming)
+        withFp.withWatermark("ts", cfg.watermark)
+          .dropDuplicatesWithinWatermark("_fp")
+          .drop("_fp")
+      else
+        // batch equivalent of first-arrival-wins: min_by event time
+        // (doc_id tiebreak), deterministic under any partitioning
+        withFp.groupBy(col("_fp"))
+          .agg(min_by(struct(docs.columns.map(col): _*),
+            struct(col("ts"), col("doc_id"))).as("_d"))
+          .select(col("_d.*"))
+    kept.as[DocEvent]
+  }
+
   /** STREAMING near-duplicate pair detection: the streaming member of
     * the dedup family (batch counterpart: NearDup.simhashNearDups).
     * Emits (doc_a, doc_b, hamming) for every pair of documents within

@@ -133,6 +133,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= 292L * 8, "cap should still pair against the retained window")
   }
 
+  test("streaming content dedup keeps the first arrival per normalized text") {
+    import spark.implicits._
+    import StreamingPipeline.DocEvent
+    val t0 = 1700000000000L
+    val docs = Seq(
+      DocEvent(1L, "Hello   World", new java.sql.Timestamp(t0)),
+      DocEvent(2L, "another document entirely", new java.sql.Timestamp(t0 + 1000)),
+      DocEvent(3L, "hello world", new java.sql.Timestamp(t0 + 2000)),   // ws/case variant of 1
+      DocEvent(4L, "HELLO WORLD ", new java.sql.Timestamp(t0 + 3000)),  // variant of 1
+      DocEvent(5L, "another document entirely", new java.sql.Timestamp(t0 + 4000)))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingPipeline.dedupByContent(mem.toDS(),
+        StreamConfig(watermark = "1 hour"))
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- docs.grouped(2)) { mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("content_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"expected first arrivals only, got $got")
+    // batch-mode execution agrees (first-arrival-wins via min_by)
+    val batchGot = StreamingPipeline.dedupByContent(
+        spark.createDataset(docs), StreamConfig())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchGot == got)
+  }
+
   test("streaming near-dup horizon: pairs beyond the watermark are not emitted") {
     import spark.implicits._
     import StreamingPipeline.DocEvent
