@@ -21,11 +21,21 @@ object Verify {
     // outDir, not inside it: the driver's checker enumerates every
     // outDir subdirectory as a query result, and the array-columned
     // dump relations made its pandas compare emit a spurious `_rel`
-    // error row (CORRECTNESS_r02). The oracle SQL substitutes this
-    // absolute path, so the location is otherwise arbitrary.
+    // error row (CORRECTNESS_r02). The dir is NAMED AFTER outDir (so
+    // concurrent runs with different outDirs never share it) and is
+    // wiped up front (so a dump that fails this run cannot leave the
+    // oracle silently reading a previous run's stale parquet).
     val relDir = new java.io.File(
       new java.io.File(outDir).getAbsoluteFile.getParentFile,
-      "graft_rel").getAbsolutePath
+      s"graft_rel_${new java.io.File(outDir).getName}").getAbsolutePath
+    locally {
+      val root = java.nio.file.Paths.get(relDir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
     SparkEntry.relationDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$relDir/$name")

@@ -86,9 +86,14 @@ object Multimodal {
     require(buf.getShort(28) == 24, "only 24-bit BMP supported")
     require(buf.getInt(30) == 0, "only uncompressed (BI_RGB) BMP supported")
     require(width > 0 && height > 0, "top-down/degenerate BMP unsupported")
-    // truncated payloads must fail the decode, not AIOOBE a pixel read
-    require(payload.length.toLong >=
-      buf.getInt(10).toLong + (width * 3 + 3) / 4 * 4 * height.toLong,
+    // dimension sanity first (a hostile header width would overflow Int
+    // row-size math and defeat the truncation check), then the
+    // truncation guard in Long arithmetic: truncated payloads must fail
+    // the decode, not AIOOBE a pixel read
+    require(width <= (1 << 20) && height <= (1 << 20),
+      "implausible BMP dimensions")
+    val rowSize = (width.toLong * 3 + 3) / 4 * 4
+    require(payload.length.toLong >= buf.getInt(10).toLong + rowSize * height,
       "truncated BMP pixel data")
     (width, height)
   }
@@ -150,6 +155,9 @@ object Multimodal {
     while (pos + 8 <= payload.length && (rate < 0 || dataSize < 0)) {
       val id = new String(payload, pos, 4)
       val size = buf.getInt(pos + 4)
+      // a corrupt negative chunk size would stall or reverse the walk:
+      // fail the decode instead of spinning the executor thread forever
+      require(size >= 0, s"corrupt RIFF chunk size $size")
       if (id == "fmt ") {
         require(buf.getShort(pos + 8) == 1, "only PCM WAV supported")
         channels = buf.getShort(pos + 10)
@@ -159,7 +167,11 @@ object Multimodal {
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     require(rate > 0 && channels > 0 && dataSize >= 0, "missing fmt/data chunk")
-    (rate, channels, dataSize / (channels * (bits / 8)), dataOff)
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    // header-claimed data must actually be present: the featurizer
+    // reads dataSize bytes from dataOff
+    require(dataOff.toLong + dataSize <= payload.length, "truncated WAV data chunk")
+    (rate, channels, dataSize / (channels * 2), dataOff)
   }
 
   /** Decode a PCM WAV header -> (sampleRate, channels, framesPerChannel). */

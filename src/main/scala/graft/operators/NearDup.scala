@@ -18,14 +18,23 @@ object NearDup {
     * many near-dup queries (Bench, Verify) can release the cached blocks
     * between operators instead of accumulating them for the session's
     * lifetime — call `unpersistAll()` after the final action consuming a
-    * near-dup result.
+    * near-dup result. As a backstop for sessions that never call it,
+    * the registry self-bounds: beyond `MaxTracked` entries the OLDEST
+    * relation is unpersisted automatically (always correctness-safe —
+    * an unpersisted relation silently recomputes; only the cache win is
+    * lost).
     */
+  private val MaxTracked = 4
   private val persistedRelations =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedRelations.add(p)
+    while (persistedRelations.size > MaxTracked) {
+      val old = persistedRelations.poll()
+      if (old != null) old.unpersist(false)
+    }
     p
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -75,7 +75,10 @@ object SimHashHelper {
   }
 }
 
-case class SimHash64Expression(child: Expression) extends UnaryExpression {
+case class SimHash64Expression(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override def nullSafeEval(v: Any): Any =
@@ -172,7 +175,10 @@ object ShinglesHelper {
   }
 }
 
-case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpression {
+case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingles_hashed"
   override def nullSafeEval(v: Any): Any =
@@ -221,7 +227,9 @@ object HashEmbeddingHelper {
 }
 
 case class HashEmbeddingExpression(child: Expression, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "hash_embedding"
   override def nullSafeEval(v: Any): Any =
@@ -292,7 +300,12 @@ object QuantizedDotHelper {
 }
 
 case class QuantizedDotExpression(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  // the helper reads via getFloat: an array<double> input would be
+  // reinterpreted byte-wise, so analysis must reject it
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
   override def nullSafeEval(l: Any, r: Any): Any =
@@ -306,7 +319,10 @@ case class QuantizedDotExpression(left: Expression, right: Expression)
 }
 
 case class QuantizedCosineExpression(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quantized_cosine"
   override def nullSafeEval(l: Any, r: Any): Any =
@@ -371,7 +387,10 @@ object LangIdHelper {
   }
 }
 
-case class LangIdExpression(child: Expression) extends UnaryExpression {
+case class LangIdExpression(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "langid"
   override def nullSafeEval(v: Any): Any =
@@ -466,7 +485,10 @@ object HyperplaneMultiHelper {
 }
 
 case class HyperplaneSigsExpression(child: Expression, nBits: Int,
-    nTables: Int, seedBase: Int) extends UnaryExpression {
+    nTables: Int, seedBase: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "hyperplane_sigs"
   override def nullSafeEval(v: Any): Any =
@@ -479,7 +501,9 @@ case class HyperplaneSigsExpression(child: Expression, nBits: Int,
 }
 
 case class HyperplaneSigExpression(child: Expression, nBits: Int, seed: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_sig"
   override def nullSafeEval(v: Any): Any =
@@ -491,7 +515,10 @@ case class HyperplaneSigExpression(child: Expression, nBits: Int, seed: Int)
     copy(child = newChild)
 }
 
-case class MinHashSigExpression(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSigExpression(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(v: Any): Any =

@@ -76,6 +76,18 @@ object TsvReader {
       spark.sparkContext.hadoopConfiguration)
     if (maxSplitBytes > 0)
       conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    // exactly ONE regular file: byte offsets restart at 0 in every file,
+    // so a directory/glob here would interleave files' split bases and
+    // emit the extra files' header lines as data — refuse loudly (the
+    // per-file reader `readTsv` is the many-files path)
+    locally {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      require(matches.length == 1 && matches.head.isFile,
+        s"readTsvSplittable requires exactly one regular file, " +
+          s"got ${matches.length} matches for $path")
+    }
     val lines = spark.sparkContext.newAPIHadoopFile(
         path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .mapPartitions(_.map { case (off, text) =>
@@ -83,15 +95,21 @@ object TsvReader {
         (off.get(), new String(text.getBytes, 0, text.getLength,
           java.nio.charset.StandardCharsets.UTF_8))
       })
-    // pass 1: per-split (minOffset, count) — tiny driver-side metadata
+    // pass 1: per-split (minOffset, count) — tiny driver-side metadata —
+    // and the header line (offset 0), captured HERE so the huge file is
+    // read exactly twice, not three times
     val stats = lines.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L; var min = Long.MaxValue
-      it.foreach { case (off, _) => n += 1; if (off < min) min = off }
-      Iterator((pid, min, n))
+      var header: String = null
+      it.foreach { case (off, line) =>
+        n += 1; if (off < min) min = off
+        if (off == 0L) header = line
+      }
+      Iterator((pid, min, n, Option(header)))
     }.collect()
     val bases: Map[Int, Long] = {
       var acc = 0L
-      stats.filter(_._3 > 0).sortBy(_._2).map { case (pid, _, n) =>
+      stats.filter(_._3 > 0).sortBy(_._2).map { case (pid, _, n, _) =>
         val b = pid -> acc; acc += n; b
       }.toMap
     }
@@ -102,7 +120,7 @@ object TsvReader {
       val base = bcBases.value.getOrElse(pid, 0L)
       it.zipWithIndex.map { case ((_, line), i) => (base + i, line) }
     }
-    val header = numbered.filter(_._1 == 0L).map(_._2).collect()
+    val header = stats.flatMap(_._4)
     require(header.nonEmpty, s"empty TSV: $path")
     val names = header.head.split("\t", -1)
     val schema = org.apache.spark.sql.types.StructType(
