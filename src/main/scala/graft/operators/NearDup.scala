@@ -152,8 +152,9 @@ object NearDup {
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       nShingle: Int = 3, threshold: Double = 0.5,
-                      maxDocFreq: Int = 10000): DataFrame = {
-    if (maxDocFreq <= 0)
+                      maxDocFreq: Int = 10000,
+                      stopShingles: Set[Long] = Set.empty): DataFrame = {
+    if (maxDocFreq <= 0 && stopShingles.isEmpty)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn("jaccardNearDups running UNCAPPED (maxDocFreq<=0): the " +
           "posting self-join is O(df^2) per shingle and goes quadratic " +
@@ -165,8 +166,16 @@ object NearDup {
     val posting = docs
       .select(col(idCol).as("doc"),
         explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
+    // capping paths, cheapest first: an explicit stop-shingle set
+    // (e.g. from hotShinglesSketch — zero-shuffle derivation) applies
+    // as a broadcast anti-join; otherwise the exact doc-frequency
+    // count-filter-join (one extra aggregation over the postings)
     val capped = persistTracked(
-      if (maxDocFreq <= 0) posting
+      if (stopShingles.nonEmpty) {
+        import docs.sparkSession.implicits._
+        posting.join(
+          broadcast(stopShingles.toSeq.toDF("s")), Seq("s"), "left_anti")
+      } else if (maxDocFreq <= 0) posting
       else posting.join(
         posting.groupBy(col("s")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s")))
@@ -186,6 +195,48 @@ object NearDup {
           (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Hot-shingle (stop-shingle) detection via a Count-Min Sketch — the
+    * sketch path for deriving `jaccardNearDups`' cap set at corpus
+    * scale: the exact path needs a full (shingle -> doc-frequency)
+    * aggregation (a shuffle of every posting) before any capping can
+    * happen, while the CMS is pure map-side work merged into a few KB
+    * on the driver (one pass, zero shuffle) and is then broadcast as a
+    * plain filter.
+    *
+    * CMS guarantees: estimates NEVER undercount (overcount bounded by
+    * eps * total postings with probability 1-delta), so the returned
+    * set is a SUPERSET of the true hot-shingle set — capping with it
+    * drops every genuinely quadratic key, at the cost of occasionally
+    * retiring a borderline shingle early (the safe direction for a
+    * stop-shingle list; pinned in DataOpsSpec). Near-dup recall is
+    * unaffected for the same reason the exact cap's is: true near-dups
+    * share mostly rare shingles.
+    *
+    * Returns the hot shingle hashes (estimated doc frequency >
+    * maxDocFreq) as a Set for broadcast.
+    */
+  def hotShinglesSketch(docs: DataFrame, idCol: String, textCol: String,
+                        nShingle: Int = 3, maxDocFreq: Int = 10000,
+                        eps: Double = 1e-6, delta: Double = 1e-4): Set[Long] = {
+    // shingles are per-doc distinct already, so item count == posting
+    // count == per-shingle doc frequency
+    val posting = docs.select(
+      explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
+    val cms = posting.stat.countMinSketch(
+      "s", eps = eps, confidence = 1 - delta, seed = 42)
+    // candidate hot keys still need enumerating (a CMS answers point
+    // queries, it does not list keys): probe it with a BOUNDED posting
+    // prefix — limit() short-circuits after maxProbe rows with no
+    // shuffle, and a shingle hot enough to matter (df in the tens of
+    // thousands) appears in any non-trivial prefix of a mixed corpus.
+    // The whole derivation is one map-side corpus pass + one bounded
+    // head-read; an adversarially ordered corpus (all boilerplate at
+    // the tail) should use the exact count-filter path instead.
+    val maxProbe = 500000
+    val probes = posting.limit(maxProbe).collect().map(_.getLong(0)).distinct
+    probes.filter(s => cms.estimateCount(s) > maxDocFreq).toSet
   }
 
   /** Dedup plan from near-dup pairs: keep the smallest id of each

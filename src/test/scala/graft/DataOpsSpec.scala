@@ -129,6 +129,31 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS hot-shingle sketch: superset of exact hot set, recall preserved") {
+    val df = docsDf(corpus)
+    val cap = 3
+    // exact hot set (ground truth): shingles with doc frequency > cap
+    val exactHot = df.select(explode(TextOps.shingles(col("text"), 3)).as("s"))
+      .groupBy("s").count().filter(col("count") > cap)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactHot.nonEmpty, "fixture has no hot shingles")
+    val sketched = NearDup.hotShinglesSketch(df, "doc_id", "text",
+      maxDocFreq = cap)
+    // CMS never undercounts: every truly hot shingle must be detected
+    assert(exactHot.subsetOf(sketched),
+      s"sketch missed hot shingles: ${exactHot -- sketched}")
+    // and capping with the sketch set keeps every near-dup pair the
+    // exact doc-frequency cap finds
+    val viaSketch = NearDup.jaccardNearDups(df, "doc_id", "text",
+        threshold = 0.6, stopShingles = sketched)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExact = NearDup.jaccardNearDups(df, "doc_id", "text",
+        threshold = 0.6, maxDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSketch == viaExact,
+      s"missing=${viaExact -- viaSketch} extra=${viaSketch -- viaExact}")
+  }
+
   test("embedding-cosine near-dup finds planted dups; agrees with brute force") {
     // long docs so a one-token change stays a HIGH-cosine near-dup in
     // shingle-feature space (3 of ~22 shingles differ -> cos ≈ 0.86)
