@@ -88,14 +88,20 @@ object NearDup {
     // at a lower threshold pass r=2 banding (e.g. k=64/b=32, as q14
     // does); callers trading recall for cost pass fewer bands
     val rows = k / bands
+    // the persisted relation carries the SIGNATURE too: the banded
+    // relation is consumed twice (bucket counting + the capped join),
+    // and without the materialized sig each consumption would re-run
+    // the k-slot minhash over every shingle array — the banding itself
+    // (slice + hash per band) is cheap to redo
     val withSh = persistTracked(docs
-      .select(col(idCol).as("doc"), TextOps.shingles(col(textCol), nShingle).as("sh")))
+      .select(col(idCol).as("doc"),
+        TextOps.shingles(col(textCol), nShingle).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k)))
     // banded keys carry ONLY (doc, band, bucket): the shingle arrays
     // never ride through the band shuffle or the candidate dedup —
     // payload-light shuffles are what survive a 100x scale-up
     val banded = withSh
-      .select(col("doc"),
-        explode(bandKeys(minhashSignature(col("sh"), k), bands, rows)).as("bk"))
+      .select(col("doc"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc"), col("bk.band"), col("bk.bucket"))
     // partial-aggregated counts (never materializes a bucket's members);
     // the join back is on the same key, so AQE co-plans the exchanges
@@ -268,13 +274,17 @@ object NearDup {
   def embeddingNearDups(docs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.8, nBits: Int = 10,
                         nTables: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    // the persisted relation carries the signature ARRAY: the sig
+    // relation is consumed twice (bucket counting + the capped join),
+    // and recomputing hyperplane signatures is the expensive part —
+    // the posexplode is free to redo
     val base = persistTracked(
-      docs.select(col(idCol).as("doc"), col(vecCol).as("vec")))
-    // one-pass multi-table signatures (bit-identical to per-table
-    // hyperplaneSig calls at seeds 101..101+nTables-1; PlansSpec pin)
-    val sigs = base.select(col("doc"),
-      posexplode(Similarity.hyperplaneSigs(col("vec"), nBits, nTables,
-        seedBase = 101)))
+      docs.select(col(idCol).as("doc"), col(vecCol).as("vec"))
+        // one-pass multi-table signatures (bit-identical to per-table
+        // hyperplaneSig calls at seeds 101..101+nTables-1; PlansSpec pin)
+        .withColumn("sigs",
+          Similarity.hyperplaneSigs(col("vec"), nBits, nTables, seedBase = 101)))
+    val sigs = base.select(col("doc"), posexplode(col("sigs")))
       .toDF("doc", "table", "sig")
     // cap degenerate buckets, as in the MinHash path
     val okBuckets = sigs.groupBy(col("table"), col("sig"))
