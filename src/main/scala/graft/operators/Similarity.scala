@@ -131,8 +131,12 @@ object Similarity {
     // pass its own maxFitRows.
     val feat = corpus.select(col(vecCol)).limit(maxFitRows)
       .withColumn("features", toVec(col(vecCol)))
+    // random init, not k-means||: the parallel init runs ~2 extra
+    // distributed passes to seed centroids whose quality IVF does not
+    // need (cells are probed with nProbe > 1 and re-ranked exactly);
+    // recall is pinned in DataOpsSpec
     val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(10).fit(feat)
+      .setInitMode("random").setMaxIter(10).fit(feat)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     def dist2(a: Seq[Float], c: Array[Double]): Double = {
