@@ -479,6 +479,69 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q40_neardup_components" -> ((s, dir) => {
+      // connected components over the exact-jaccard near-dup pairs
+      // (alternating large-star/small-star): every doc labeled with its
+      // cluster minimum — the transitive-closure dedup the greedy
+      // keep-first plan approximates
+      val docs = t(s, dir, "documents")
+      val pairs = operators.NearDup.jaccardNearDups(
+        docs, "doc_id", "text", threshold = 0.5, maxDocFreq = 10000)
+      operators.Components.componentsForDocs(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+    "q41_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals over word 2-grams: the struct
+      // is projected once, so the one-pass native expression runs once
+      // per row and the five outputs are cheap field reads
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.ngramRepStats(col("text"), 2).as("rs"))
+        .select(col("doc_id") +:
+          operators.TextOps.repetitionFeatures(col("rs"))
+            .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q42_stratified_sample" -> ((s, dir) => {
+      // deterministic language-rebalancing sample: downsample the head
+      // language, keep the tail — partitioning/cluster-size/engine
+      // independent (md5-threshold, see Sampling), so the kept set is
+      // reproducible corpus metadata, not a run artifact
+      operators.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.25, "zh" -> 0.5),
+        defaultRate = 0.75, salt = "s42")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+    "q43_tfidf" -> ((s, dir) => {
+      // integer-quantized TF-IDF (idf = (N*scale) div df): bit-exact
+      // on any engine/partitioning; rankings match unquantized TF-IDF
+      // up to the 1/scale step
+      operators.Relevance.tfIdfQuantized(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "window", "merge", "vector"))
+        .orderBy(col("doc_id"))
+    }),
+    "q44_pii_redact" -> ((s, dir) => {
+      // PII scrub over deterministically-augmented text: the synthetic
+      // corpus carries no PII, so both engines plant the same email/
+      // phone/URL per doc in-query, then count and redact it — the
+      // redaction itself is what the oracle pins byte-for-byte
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-6789 see https://ex.org/d/"), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id") +:
+          operators.TextOps.piiCounts(col("aug"))
+            .map { case (n, c) => c.as(n) } :+
+          operators.TextOps.redactPii(col("aug")).as("redacted"): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -842,6 +905,91 @@ object SparkEntry {
          WHERE doc_id NOT IN
            (SELECT doc_b FROM pairs WHERE jaccard >= 0.5)
          ORDER BY doc_id""",
+    "q40_neardup_components" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 4) >= 0.5),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT u, v FROM edges
+           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u, least(u, min(v)) AS component
+           FROM reach GROUP BY u)
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+         ORDER BY d.doc_id""",
+    "q41_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(
+             range(0, greatest(len(toks) - 2, 0) + 1),
+             i -> array_to_string(toks[i+1:i+2], ' ')) AS grams
+           FROM tok),
+         ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         cnt AS (SELECT doc_id, gram, count(*) AS c
+           FROM ex GROUP BY 1, 2),
+         st AS (SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct,
+             max(c) AS max_count
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n_grams, n_distinct, max_count,
+           round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4)
+             AS dup_ngram_frac,
+           round(CAST(max_count AS DOUBLE) / n_grams, 4)
+             AS top_ngram_frac
+         FROM st ORDER BY doc_id""",
+    "q42_stratified_sample" ->
+      """WITH kept AS (SELECT * FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8) <
+             CASE lang WHEN 'en' THEN '40000000'
+                       WHEN 'zh' THEN '80000000'
+                       ELSE 'c0000000' END)
+         SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+         FROM kept GROUP BY 1 ORDER BY 1""",
+    "q43_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         f AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'window', 'merge', 'vector')
+           GROUP BY 1, 2),
+         d AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         i AS (SELECT term, (n.n * 1000000) // df AS idf_q FROM d, n)
+         SELECT f.doc_id, CAST(sum(f.tf * i.idf_q) AS BIGINT) AS score_q
+         FROM f JOIN i USING (term) GROUP BY 1 ORDER BY 1""",
+    "q44_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com call 555-'
+             || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-6789 see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+             AS aug
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(aug,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_urls,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM a ORDER BY doc_id""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,

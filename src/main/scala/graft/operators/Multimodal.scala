@@ -14,17 +14,17 @@ import graft.sources.Synth
   * column — the Scala analog of mapInPandas batches), deterministic
   * outputs, no driver involvement.
   *
-  * Codec status:
-  *  - image: REAL 24-bit uncompressed BMP codec (encode, decode,
-  *    per-pixel access, nearest-neighbor resize) — pure JVM, no
-  *    libraries;
-  *  - audio: REAL PCM WAV codec (encode, RIFF chunk-walk decode) —
-  *    pure JVM;
-  *  - video: ===STUB=== — a deterministic 16-byte fake header
-  *    (`decodeStub`), because no pure-JVM video container/codec is
-  *    feasible and the container ships no media libraries. The stub
-  *    boundary is pinned by golden-binary tests so a real codec swap
-  *    is observable at exactly this seam.
+  * Codec status — ALL REAL, pure JVM, no libraries:
+  *  - image: 24-bit uncompressed BMP (encode, decode, per-pixel
+  *    access, nearest-neighbor resize);
+  *  - audio: PCM WAV (encode, RIFF chunk-walk decode, 16-bit);
+  *  - video: YUV4MPEG2 (encode, stream/FRAME-walk decode, per-frame
+  *    luma access, per-plane nearest-neighbor resize) — the
+  *    uncompressed planar interchange format of the mjpegtools suite.
+  *    Compressed codecs (JPEG/H.264/AAC…) stay out of scope: decoding
+  *    them needs media libraries this container does not ship; the
+  *    operator surface (schema, batch shape, per-frame explode) is
+  *    identical either way.
   */
 object Multimodal {
 
@@ -181,32 +181,180 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
-  // ===STUB=== video: deterministic fake 16-byte header (no pure-JVM
-  // video codec is feasible; boundary pinned by MultimodalSpec goldens)
+  // REAL video codec: YUV4MPEG2 (uncompressed planar YUV — the public
+  // y4m interchange format of the mjpegtools suite; text stream header
+  // + per-frame FRAME markers + raw planes)
   // ---------------------------------------------------------------------
 
-  /** Fake media blob: 16-byte header (magic, width, height, nFrames)
-    * followed by deterministic pseudo-random body bytes.
+  /** Bytes per frame for a y4m colorspace tag; even dims required for
+    * subsampled chroma. Long math first, plausibility-bounded — a
+    * hostile header must fail the decode, not overflow the frame walk.
     */
-  def syntheticBlob(id: Long, kind: String): Array[Byte] = {
-    val h = Synth.mix(1234L, id, kind.hashCode.toLong)
-    val width = 16 + (Math.floorMod(h, 64L)).toInt * 4
-    val height = 16 + (Math.floorMod(h >>> 8, 64L)).toInt * 4
-    val nFrames = if (kind == "video") 1 + Math.floorMod(h >>> 16, 30L).toInt else 1
-    val bodyLen = 256 + Math.floorMod(h >>> 24, 1024L).toInt
-    val buf = ByteBuffer.allocate(16 + bodyLen)
-    buf.putInt(0x4D454447) // magic "MEDG"
-    buf.putInt(width); buf.putInt(height); buf.putInt(nFrames)
-    var i = 0
-    while (i < bodyLen) { buf.put((Synth.mix(h, i.toLong, 5L) & 0xFF).toByte); i += 1 }
-    buf.array()
+  private def y4mFrameBytes(cs: String, w: Int, h: Int): Int = {
+    require(w > 0 && h > 0, "y4m dims must be positive")
+    require(w <= (1 << 20) && h <= (1 << 20), "implausible y4m dimensions")
+    val yBytes = w.toLong * h
+    val total = cs match {
+      case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
+        require(w % 2 == 0 && h % 2 == 0, "4:2:0 y4m requires even dims")
+        yBytes + 2 * (w / 2).toLong * (h / 2)
+      case "C422" =>
+        require(w % 2 == 0, "4:2:2 y4m requires even width")
+        yBytes * 2
+      case "C444" => yBytes * 3
+      case "Cmono" => yBytes
+      case other => throw new IllegalArgumentException(
+        s"unsupported y4m colorspace $other")
+    }
+    require(total <= Int.MaxValue, "y4m frame too large")
+    total.toInt
   }
 
-  /** ===STUB=== parse of the fake 16-byte video header. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val buf = ByteBuffer.wrap(payload)
-    require(buf.getInt() == 0x4D454447, "bad media magic")
-    (buf.getInt(), buf.getInt(), buf.getInt())
+  /** Parse the stream header -> (width, height, colorspace, body
+    * offset). Tolerates extra tags (F/I/A/X) in any order; the header
+    * line must terminate within 256 bytes (an unterminated header is
+    * a corrupt stream, not an infinite scan).
+    */
+  private def y4mHeader(payload: Array[Byte]): (Int, Int, String, Int) = {
+    require(payload.length >= 10 &&
+      new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2",
+      "not a YUV4MPEG2 payload")
+    val bound = math.min(payload.length, 256)
+    var nl = 9
+    while (nl < bound && payload(nl) != '\n') nl += 1
+    require(nl < bound, "unterminated y4m stream header")
+    val tags = new String(payload, 9, nl - 9, "US-ASCII").trim
+      .split(" ").filter(_.nonEmpty)
+    var w = -1; var h = -1; var cs = "C420jpeg" // spec default is 4:2:0
+    tags.foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'C' => cs = t
+        case _ => () // F/I/A/X tags don't affect the layout
+      }
+    }
+    require(w > 0 && h > 0, "y4m header missing W/H")
+    (w, h, cs, nl + 1)
+  }
+
+  /** Walk the FRAME markers -> (width, height, nFrames). Every frame
+    * must carry its full plane payload; trailing garbage or a
+    * truncated final frame fails the decode.
+    */
+  def decodeY4m(payload: Array[Byte]): (Int, Int, Int) = {
+    val (w, h, cs, body) = y4mHeader(payload)
+    val fb = y4mFrameBytes(cs, w, h)
+    var pos = body
+    var n = 0
+    while (pos < payload.length) {
+      require(pos + 5 <= payload.length &&
+        new String(payload, pos, 5, "US-ASCII") == "FRAME",
+        s"corrupt y4m: expected FRAME marker at offset $pos")
+      val bound = math.min(payload.length, pos + 256)
+      var nl = pos + 5
+      while (nl < bound && payload(nl) != '\n') nl += 1
+      require(nl < bound, "unterminated y4m FRAME header")
+      require(nl + 1 + fb.toLong <= payload.length, "truncated y4m frame data")
+      pos = nl + 1 + fb
+      n += 1
+    }
+    (w, h, n)
+  }
+
+  /** The Y (luma) plane of frame `idx` — real per-frame pixel access. */
+  def y4mFrameY(payload: Array[Byte], idx: Int): Array[Byte] = {
+    val (w, h, cs, body) = y4mHeader(payload)
+    val fb = y4mFrameBytes(cs, w, h)
+    var pos = body
+    var n = 0
+    while (pos < payload.length) {
+      require(pos + 5 <= payload.length &&
+        new String(payload, pos, 5, "US-ASCII") == "FRAME", "corrupt y4m")
+      val bound = math.min(payload.length, pos + 256)
+      var nl = pos + 5
+      while (nl < bound && payload(nl) != '\n') nl += 1
+      require(nl < bound, "unterminated y4m FRAME header")
+      require(nl + 1 + fb.toLong <= payload.length, "truncated y4m frame data")
+      if (n == idx)
+        return java.util.Arrays.copyOfRange(payload, nl + 1, nl + 1 + w * h)
+      pos = nl + 1 + fb
+      n += 1
+    }
+    throw new IllegalArgumentException(s"y4m frame $idx out of range ($n frames)")
+  }
+
+  /** Encode planar frames as a canonical y4m stream. Each frame must
+    * be the full plane payload for the colorspace.
+    */
+  def encodeY4m(width: Int, height: Int, frames: Seq[Array[Byte]],
+                colorspace: String = "C420jpeg"): Array[Byte] = {
+    val fb = y4mFrameBytes(colorspace, width, height)
+    frames.foreach(f => require(f.length == fb,
+      s"frame must carry $fb bytes, got ${f.length}"))
+    val hdr = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 $colorspace\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(hdr.length + frames.size * (marker.length + fb))
+    out.put(hdr)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+
+  /** REAL nearest-neighbor video resize: resamples every plane of
+    * every frame (luma at full resolution, chroma at its subsampled
+    * resolution) and re-encodes a valid y4m stream.
+    */
+  def resizeY4m(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val (w, h, cs, body) = y4mHeader(payload)
+    val fb = y4mFrameBytes(cs, w, h)
+    val fb2 = y4mFrameBytes(cs, w2, h2) // validates target dims for cs
+    def resamplePlane(src: Array[Byte], srcOff: Int, sw: Int, sh: Int,
+                      dst: Array[Byte], dstOff: Int, dw: Int, dh: Int): Unit = {
+      var y = 0
+      while (y < dh) {
+        val sy = (y.toLong * sh / dh).toInt
+        var x = 0
+        while (x < dw) {
+          dst(dstOff + y * dw + x) =
+            src(srcOff + sy * sw + (x.toLong * sw / dw).toInt)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // plane layout per colorspace: (plane width, plane height) pairs
+    def planes(pw: Int, ph: Int): Seq[(Int, Int)] = cs match {
+      case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
+        Seq((pw, ph), (pw / 2, ph / 2), (pw / 2, ph / 2))
+      case "C422" => Seq((pw, ph), (pw / 2, ph), (pw / 2, ph))
+      case "C444" => Seq((pw, ph), (pw, ph), (pw, ph))
+      case _ => Seq((pw, ph)) // Cmono
+    }
+    val srcPlanes = planes(w, h)
+    val dstPlanes = planes(w2, h2)
+    val outFrames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = body
+    while (pos < payload.length) {
+      require(pos + 5 <= payload.length &&
+        new String(payload, pos, 5, "US-ASCII") == "FRAME", "corrupt y4m")
+      val bound = math.min(payload.length, pos + 256)
+      var nl = pos + 5
+      while (nl < bound && payload(nl) != '\n') nl += 1
+      require(nl < bound, "unterminated y4m FRAME header")
+      require(nl + 1 + fb.toLong <= payload.length, "truncated y4m frame data")
+      val frame = new Array[Byte](fb2)
+      var srcOff = nl + 1
+      var dstOff = 0
+      srcPlanes.zip(dstPlanes).foreach { case ((sw, sh), (dw, dh)) =>
+        resamplePlane(payload, srcOff, sw, sh, frame, dstOff, dw, dh)
+        srcOff += sw * sh
+        dstOff += dw * dh
+      }
+      outFrames += frame
+      pos = nl + 1 + fb
+    }
+    encodeY4m(w2, h2, outFrames.toSeq, cs)
   }
 
   // ---------------------------------------------------------------------
@@ -234,8 +382,23 @@ object Multimodal {
       Array.tabulate(frames * channels)(i => (Synth.mix(h, i.toLong, 31L) & 0xFFFF).toShort))
   }
 
+  /** Deterministic real y4m video: 4:2:0, even 16-46 px dims, 1-30
+    * frames of pseudo-random planes.
+    */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val h = Synth.mix(1234L, id, 29L)
+    val w = 16 + Math.floorMod(h, 16L).toInt * 2
+    val ht = 16 + Math.floorMod(h >>> 8, 16L).toInt * 2
+    val nFrames = 1 + Math.floorMod(h >>> 16, 30L).toInt
+    val fb = w * ht + 2 * (w / 2) * (ht / 2)
+    val frames = (0 until nFrames).map { f =>
+      Array.tabulate(fb)(i => (Synth.mix(h, f.toLong, i.toLong) & 0xFF).toByte)
+    }
+    encodeY4m(w, ht, frames)
+  }
+
   /** Deterministic media table generator (distributed, per-index):
-    * real BMP images, real PCM WAVs, stub video blobs.
+    * real BMP images, real PCM WAVs, real y4m videos.
     */
   def mediaTable(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
@@ -243,20 +406,21 @@ object Multimodal {
       (i % 3) match {
         case 0 => MediaRow(i, "image", syntheticImage(i))
         case 1 => MediaRow(i, "audio", syntheticAudio(i))
-        case _ => MediaRow(i, "video", syntheticBlob(i, "video"))
+        case _ => MediaRow(i, "video", syntheticVideo(i))
       }
     }
   }
 
-  /** Format-sniffing metadata decode: real BMP/WAV parsers, stub header
-    * parse for the fake video container.
+  /** Format-sniffing metadata decode: real BMP/WAV/y4m parsers; an
+    * unrecognized magic fails the decode (hostile/garbage payloads
+    * must never be misparsed as media).
     */
   def decodeMeta(payload: Array[Byte]): (Int, Int, Int) =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
       val (w, h) = decodeBmp(payload); (w, h, 1)
     } else if (payload.length >= 12 && new String(payload, 0, 4) == "RIFF") {
       decodeWav(payload)
-    } else decodeStub(payload) // ===STUB=== video fallback
+    } else decodeY4m(payload)
 
   /** Batch decode: mapPartitions over the binary column — one pass,
     * fixed-size metadata out, no driver involvement.
@@ -337,43 +501,69 @@ object Multimodal {
             (hist(1).toDouble / n * 2 - 1).toFloat,
             (hist(2).toDouble / n * 2 - 1).toFloat,
             (hist(3).toDouble / n * 2 - 1).toFloat))
-        case p => // ===STUB=== video: hash-derived embedding stand-in
-          val base = java.util.Arrays.hashCode(p).toLong
-          Array.tabulate(dim)(j =>
-            (Math.floorMod(Synth.mix(base, j.toLong, 11L), 2000L) - 1000L).toFloat / 1000f)
+        case p => // REAL y4m video: luma statistics + temporal activity
+          val (w, h, f) = decodeY4m(p)
+          val n = w.toLong * h * f
+          var sum = 0.0; var sum2 = 0.0
+          val hist = new Array[Long](4)
+          var dSum = 0.0 // mean |frame-to-frame| luma delta
+          var prev: Array[Byte] = null
+          var fi = 0
+          while (fi < f) {
+            val yp = y4mFrameY(p, fi)
+            var i = 0
+            while (i < yp.length) {
+              val v = yp(i) & 0xFF
+              sum += v; sum2 += v.toDouble * v
+              hist(v / 64) += 1
+              if (prev != null) dSum += math.abs(v - (prev(i) & 0xFF))
+              i += 1
+            }
+            prev = yp
+            fi += 1
+          }
+          val mean = sum / n
+          val std = math.sqrt(math.max(0, sum2 / n - mean * mean))
+          val meanDelta =
+            if (f > 1) dSum / (w.toLong * h * (f - 1)) else 0.0
+          fit(Array(
+            (mean / 127.5 - 1).toFloat, (std / 127.5 - 1).toFloat,
+            (meanDelta / 127.5 - 1).toFloat,
+            (math.min(f, 64) / 64.0 * 2 - 1).toFloat,
+            (hist(0).toDouble / n * 2 - 1).toFloat,
+            (hist(1).toDouble / n * 2 - 1).toFloat,
+            (hist(2).toDouble / n * 2 - 1).toFloat,
+            (hist(3).toDouble / n * 2 - 1).toFloat))
       }
       (m.media_id, m.kind, vec)
     }).toDF("media_id", "kind", "embedding")
   }
 
-  /** Resize dispatch: REAL nearest-neighbor pixel resample for BMP
-    * images; header-rewrite ===STUB=== for the fake video container.
+  /** Resize dispatch: REAL nearest-neighbor pixel resample for both
+    * BMP images and y4m videos (per-plane, per-frame).
     */
   def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       resizeBmp(payload, w, h)
-    else resizeStub(payload, w, h)
+    else resizeY4m(payload, w, h)
 
-  /** ===STUB=== resize for the fake video container: rewrites the
-    * header dims, truncates body proportionally.
-    */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val (_, _, f) = decodeStub(payload)
-    val out = ByteBuffer.allocate(16 + 64)
-    out.putInt(0x4D454447); out.putInt(w); out.putInt(h); out.putInt(f)
-    out.put(payload, 16, math.min(64, payload.length - 16))
-    out.array()
-  }
-
-  /** Frame sampling for video rows: every `stride`-th frame index as
-    * its own row (media_id, frame_idx) — the explode-shaped op a video
-    * pipeline needs; payload slicing stubbed to header-carry.
+  /** Frame sampling for video rows: every `stride`-th frame as its own
+    * row with REAL per-frame luma statistics — the explode-shaped op a
+    * video pipeline needs. One mapPartitions-style pass; the frame walk
+    * is sequential within the payload, so sampling N of F frames reads
+    * only the sampled Y planes.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 5): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val (w, h, f) = decodeStub(m.payload)
-      (0 until f by stride).map(i => (m.media_id, i, w, h))
-    }.toDF("media_id", "frame_idx", "width", "height")
+      val (w, h, f) = decodeY4m(m.payload)
+      (0 until f by stride).map { i =>
+        val yp = y4mFrameY(m.payload, i)
+        var s = 0L
+        var j = 0
+        while (j < yp.length) { s += (yp(j) & 0xFF); j += 1 }
+        (m.media_id, i, w, h, s.toDouble / yp.length)
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "y_mean")
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring (TF-IDF / BM25) for a fixed query-term
+  * set — the retrieval primitive a curation pipeline uses to pull
+  * topic-targeted subsets out of a web-scale corpus.
+  *
+  * Scale shape: the fact-side pass is explode→broadcast-semi-filter on
+  * the tiny term set, so the only shuffled rows are (doc, matched
+  * term) — bounded by |terms| per document, NOT by document length.
+  * The document-frequency relation is |terms| rows, broadcast back.
+  * Corpus-level scalars (N, avgdl) are one partial-aggregated scan.
+  */
+object Relevance {
+
+  /** Per-(doc, term) term frequencies restricted to `terms` — the
+    * shared first stage. Filtering BEFORE the groupBy is the scale
+    * decision: the shuffle carries only query-term hits.
+    */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(broadcast(terms.toDF("term")), Seq("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Integer-exact quantized TF-IDF: score_q = Σ_t tf(d,t) · idf_q(t)
+    * with idf_q(t) = (N · scale) div df(t) — integer division, so the
+    * score is bit-identical on any engine and any partitioning (the
+    * same trick as Similarity.quantizedCosine: quantize first, then
+    * only exact integer arithmetic). The quantized idf is a monotone
+    * image of N/df, so rankings match unquantized TF-IDF up to the
+    * 1/scale quantization step.
+    *
+    * Overflow discipline (ANSI mode throws rather than wrapping):
+    * N·scale·max_tf·|terms| must stay under 2^63 — at N=10^12 docs
+    * pass scale=10^3, not the default 10^6.
+    */
+  def tfIdfQuantized(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], scale: Long = 1000000L): DataFrame = {
+    val n = docs.count()
+    val tf = termFreqs(docs, idCol, textCol, terms)
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_q", expr(s"${n * scale}L div df"))
+    tf.join(broadcast(idf), Seq("term"))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf") * col("idf_q")).as("score_q"))
+      .select(col("doc").as(idCol), col("score_q"))
+  }
+
+  /** Okapi BM25 over the query-term set (double-precision — the
+    * engine-facing scorer; cross-engine checks use the quantized
+    * variant above because ln() is not bit-portable).
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    * tf-part = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val lens = docs.select(col(idCol).as("doc"),
+      size(TextOps.tokens(col(textCol))).as("dl"))
+    val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
+    val tf = termFreqs(docs, idCol, textCol, terms)
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+    val tfPart: Column =
+      col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(idf), Seq("term"))
+      .join(lens, Seq("doc"))
+      .groupBy(col("doc"))
+      .agg(sum(col("idf") * tfPart).as("bm25"))
+      .select(col("doc").as(idCol), col("bm25"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. `df.sample()` is
+  * seed-deterministic only for a FIXED partitioning — repartition the
+  * input (or rescale the cluster) and the kept set changes, which
+  * breaks reproducible corpus releases and exactly-once reprocessing.
+  * Hash-threshold sampling decides per ROW from a content/id hash:
+  * the kept set is a pure function of the data, identical on any
+  * partitioning, any cluster size, any engine (the DuckDB oracle
+  * reproduces it from the same md5 bytes). Map-only — zero shuffle at
+  * any scale — and composable: the same (key, salt) always lands on
+  * the same side of the cut, so a 10% sample is a subset of the 20%
+  * sample (nested samples for scaling-law curves).
+  */
+object Sampling {
+
+  /** Lowercase-hex threshold for `rate` over the first 32 bits of md5.
+    * An 8-hex-digit string comparison IS a uint32 comparison (equal
+    * length, lowercase hex ordering = numeric ordering) — portable to
+    * any engine with md5 + substring, no integer parsing needed.
+    * rate >= 1 returns "g", which sorts after every hex digit, so the
+    * predicate keeps all rows.
+    */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) "g"
+    else f"${math.round(rate * 4294967296.0)}%08x"
+  }
+
+  /** Keep-predicate: first 8 md5 hex chars of "key:salt" below the
+    * rate threshold. The salt decorrelates independent samples over
+    * the same keys (different salt ⇒ independent draw).
+    */
+  def hashKeep(key: Column, rate: Double, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8) <
+      lit(rateThreshold(rate))
+
+  /** Deterministic `rate`-fraction sample keyed on `keyCol`. */
+  def sample(df: DataFrame, keyCol: String, rate: Double,
+             salt: String = "graft"): DataFrame =
+    df.filter(hashKeep(col(keyCol), rate, salt))
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. language
+    * rebalancing — downsample the head language, keep the tail), with
+    * `defaultRate` for unlisted strata. One map-only predicate; the
+    * rate table is compiled into the plan, never joined.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "graft"): DataFrame = {
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(
+      hashKeep(col(keyCol), defaultRate, salt)) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, hashKeep(col(keyCol), rate, salt))
+        .otherwise(acc)
+    }
+    df.filter(keep)
+  }
+}

@@ -108,6 +108,84 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // PII scrubbing (training-corpus release hygiene)
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, restricted to constructs with identical semantics
+    * in Java regex and RE2-style engines (plain character classes,
+    * bounded repetition, ASCII \b) so an external SQL oracle counts
+    * and redacts byte-identically.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Per-document PII hit counts (pure map-side Columns). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(emailRe), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(phoneRe), lit(0))),
+    "n_urls" -> size(regexp_extract_all(text, lit(urlRe), lit(0))))
+
+  /** Redact PII with typed placeholders. URLs first: a URL may embed
+    * @ or digit runs, and redacting it before the email/phone passes
+    * keeps the three categories disjoint.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  // ---------------------------------------------------------------------
+  // Repetition signals (Gopher/C4-style boilerplate detection)
+  // ---------------------------------------------------------------------
+
+  /** One-pass word n-gram repetition stats: struct(n_grams, n_distinct,
+    * max_count) over the NON-distinct in-order gram windows (native
+    * NgramRepStatsExpression — the composed form is O(grams·distinct)
+    * interpreted lambda evals per row).
+    */
+  def ngramRepStats(text: Column, n: Int = 2): Column =
+    graft.plans.TextExprs.ngramRepStats(
+      org.apache.spark.sql.SparkSession.active, text, n)
+
+  /** The declarative reference form for the native expression's
+    * semantics (and the shape the DuckDB oracle mirrors): grams are the
+    * same windows as `shingles` but kept as strings, not deduplicated.
+    */
+  def ngramRepStatsColumnar(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val uniq = array_distinct(grams)
+    struct(
+      size(grams).as("n_grams"),
+      size(uniq).as("n_distinct"),
+      array_max(transform(uniq, d =>
+        size(filter(grams, g => g === d)))).as("max_count"))
+  }
+
+  /** Repetition features from a materialized `ngramRepStats` struct
+    * column: dup-ngram fraction (1 - distinct/total) and top-ngram
+    * fraction (mode count / total). High values mark templated /
+    * degenerate documents — the standard cheap pretraining-corpus
+    * repetition filters. Pass the struct as a projected column so the
+    * one-pass expression is evaluated once, not per derived ratio.
+    */
+  def repetitionFeatures(statsCol: Column): Seq[(String, Column)] = Seq(
+    "n_grams" -> statsCol.getField("n_grams"),
+    "n_distinct" -> statsCol.getField("n_distinct"),
+    "max_count" -> statsCol.getField("max_count"),
+    "dup_ngram_frac" -> round(
+      (statsCol.getField("n_grams") - statsCol.getField("n_distinct"))
+        .cast("double") / statsCol.getField("n_grams"), 4),
+    "top_ngram_frac" -> round(
+      statsCol.getField("max_count").cast("double") /
+        statsCol.getField("n_grams"), 4))
+
+  // ---------------------------------------------------------------------
   // Language identification (stopword-profile heuristic)
   // ---------------------------------------------------------------------
 

@@ -190,6 +190,91 @@ case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+object RepStatsHelper {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** One-pass word n-gram repetition stats over the tokenized text:
+    * (n_grams, n_distinct, max_count) where grams are the NON-distinct
+    * in-order windows of the same tokenization/windowing convention as
+    * ShinglesHelper (trim+lower, \s+ split, max(nTok-n,0)+1 windows,
+    * partial final windows clamped). These are the Gopher/C4-style
+    * repetition signals: dup-ngram fraction = 1 - distinct/total,
+    * top-ngram fraction = max/total — high values mark boilerplate and
+    * degenerate repetition in a pretraining corpus.
+    *
+    * Counting is over 64-bit gram hashes (splitmix chain identical to
+    * ShinglesHelper), not gram strings: a cross-gram collision inside
+    * ONE document would be needed to drift from the string-counting
+    * oracle (~n_grams²/2^64 per doc — negligible).
+    *
+    * The composed-Column counterpart walks the gram array once per
+    * distinct gram (O(grams·distinct) interpreted lambda evals per
+    * row); this is one pass with a small open-addressing table.
+    */
+  def eval(u: UTF8String, n: Int): InternalRow = {
+    val s = TextNorm.lower(u)
+    val len = s.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = math.max(starts.size, 1) // empty text ≙ one empty token
+    val nGrams = math.max(nTok - n, 0) + 1
+    val counts = new java.util.HashMap[java.lang.Long, Integer](nGrams * 2)
+    var maxCount = 0
+    var p = 0
+    while (p < nGrams) {
+      var h = 0x9E3779B97F4A7C15L
+      var t = p
+      val tEnd = math.min(p + n, nTok)
+      while (t < tEnd) {
+        if (t > p) h = (h ^ ' '.toLong) * 0xBF58476D1CE4E5B9L
+        if (t < starts.size) {
+          var c = starts.get(t).intValue()
+          val e = ends.get(t).intValue()
+          while (c < e) {
+            h = (h ^ s.charAt(c).toLong) * 0xBF58476D1CE4E5B9L
+            c += 1
+          }
+        }
+        t += 1
+      }
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      h ^= (h >>> 31)
+      val prev = counts.get(h)
+      val cnt = (if (prev == null) 0 else prev.intValue()) + 1
+      counts.put(h, cnt)
+      if (cnt > maxCount) maxCount = cnt
+      p += 1
+    }
+    new GenericInternalRow(Array[Any](nGrams, counts.size(), maxCount))
+  }
+}
+
+case class NgramRepStatsExpression(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_count", IntegerType, nullable = false)))
+  override def prettyName: String = "ngram_rep_stats"
+  override def nullSafeEval(v: Any): Any =
+    RepStatsHelper.eval(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.RepStatsHelper$$.MODULE$$.eval($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashEmbeddingHelper {
   /** Feature-hashed text embedding over DISTINCT word-3-gram shingles
     * (ShinglesHelper): each shingle hash maps to a (slot, ±1) update of
@@ -570,6 +655,9 @@ object TextExprs {
         intLit(exprs(2), "hyperplane_sigs nTables"),
         intLit(exprs(3), "hyperplane_sigs seedBase")), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_rep_stats", exprs => NgramRepStatsExpression(exprs.head,
+        intLit(exprs(1), "ngram_rep_stats n")), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles_hashed", exprs => HashedShinglesExpression(exprs.head,
         exprs(1) match {
           case Literal(v: Int, IntegerType) => v
@@ -590,6 +678,11 @@ object TextExprs {
   def shinglesHashed(spark: SparkSession, c: Column, n: Int): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("shingles_hashed", c,
+      org.apache.spark.sql.functions.lit(n))
+  }
+  def ngramRepStats(spark: SparkSession, c: Column, n: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("ngram_rep_stats", c,
       org.apache.spark.sql.functions.lit(n))
   }
   def langid(spark: SparkSession, c: Column): Column = {

@@ -213,7 +213,7 @@ object StreamingPipeline {
         // batch equivalent of first-arrival-wins: min_by event time
         // (doc_id tiebreak), deterministic under any partitioning
         withFp.groupBy(col("_fp"))
-          .agg(min_by(struct(docs.columns.map(col): _*),
+          .agg(min_by(struct(docs.columns.toIndexedSeq.map(col): _*),
             struct(col("ts"), col("doc_id"))).as("_d"))
           .select(col("_d.*"))
     kept.as[DocEvent]

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relevance, Sampling, TextOps}
+
+/** Curation operators: deterministic sampling, relevance scoring,
+  * repetition signals, PII scrubbing.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---------------- deterministic sampling ----------------
+
+  test("rate thresholds are the uint32 images of the rates") {
+    assert(Sampling.rateThreshold(0.0) == "00000000")
+    assert(Sampling.rateThreshold(0.25) == "40000000")
+    assert(Sampling.rateThreshold(0.5) == "80000000")
+    assert(Sampling.rateThreshold(1.0) == "g")
+    assertThrows[IllegalArgumentException](Sampling.rateThreshold(1.5))
+  }
+
+  test("hash sample is deterministic, partitioning-independent, and nested") {
+    import spark.implicits._
+    val ids = (0L until 4000L).toDF("id")
+    val k20 = Sampling.sample(ids, "id", 0.2, "s").collect().map(_.getLong(0)).toSet
+    // same rows regardless of partitioning
+    val k20b = Sampling.sample(ids.repartition(13), "id", 0.2, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(k20 == k20b)
+    // a lower-rate sample with the same salt is a SUBSET (nested samples)
+    val k10 = Sampling.sample(ids, "id", 0.1, "s").collect().map(_.getLong(0)).toSet
+    assert(k10.subsetOf(k20))
+    // rates are honored within binomial noise (4000 draws, ±4 sigma)
+    assert(math.abs(k20.size - 800) < 4 * math.sqrt(4000 * 0.2 * 0.8))
+    assert(math.abs(k10.size - 400) < 4 * math.sqrt(4000 * 0.1 * 0.9))
+    // a different salt is an independent draw, not the same subset
+    val other = Sampling.sample(ids, "id", 0.2, "t").collect().map(_.getLong(0)).toSet
+    assert(other != k20)
+    // boundary rates
+    assert(Sampling.sample(ids, "id", 0.0, "s").count() == 0)
+    assert(Sampling.sample(ids, "id", 1.0, "s").count() == 4000)
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "head" else "tail"))
+      .toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(df, "id", "stratum",
+      rates = Map("head" -> 0.1), defaultRate = 0.9, salt = "s")
+    val byStratum = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("head") - 100) < 4 * math.sqrt(1000 * 0.1 * 0.9))
+    assert(math.abs(byStratum("tail") - 1800) < 4 * math.sqrt(2000 * 0.9 * 0.1))
+    // per-row membership matches the single-rate sampler for its stratum
+    val headKept = kept.filter(col("stratum") === "head")
+      .collect().map(_.getLong(0)).toSet
+    val expect = Sampling.sample(df.filter(col("stratum") === "head"),
+      "id", 0.1, "s").collect().map(_.getLong(0)).toSet
+    assert(headKept == expect)
+  }
+
+  // ---------------- relevance scoring ----------------
+
+  test("quantized tf-idf is exact on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "banana banana date"),
+      (2L, "cherry date elderberry"),
+      (3L, "fig grape")).toDF("doc_id", "text")
+    val got = Relevance.tfIdfQuantized(docs, "doc_id", "text",
+        terms = Seq("apple", "banana", "cherry"), scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N=4, scale=1000: df(apple)=1 -> idf 4000; df(banana)=2 -> 2000;
+    // df(cherry)=2 -> 2000
+    assert(got == Map(
+      0L -> (2 * 4000L + 1 * 2000L + 1 * 2000L), // 12000
+      1L -> (2 * 2000L),                          // 4000
+      2L -> (1 * 2000L)))                         // 2000
+  }
+
+  test("bm25 ranks matching docs sensibly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark shuffle join " * 5),          // hits rare+common terms
+      (1L, "spark " + "filler words here " * 20), // one hit, long doc
+      (2L, "spark spark spark"),                 // tf-saturated short doc
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = Relevance.bm25(docs, "doc_id", "text", Seq("spark", "shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(3L))            // no query term, no row
+    assert(got(0L) > got(2L))            // two terms beat tf-saturation
+    assert(got(2L) > got(1L))            // length normalization penalizes 1
+    assert(got.values.forall(_ > 0))
+  }
+
+  // ---------------- repetition signals ----------------
+
+  test("native ngram_rep_stats matches the declarative form") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b a b a b",            // heavy 2-gram repetition
+      "all tokens distinct here today",
+      "x",                      // fewer tokens than n
+      "  ",                     // empty after trim
+      "one two one two three one two")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val native = df.select(col("id"),
+          TextOps.ngramRepStats(col("text"), n).as("s"))
+        .select(col("id"), col("s.n_grams"), col("s.n_distinct"), col("s.max_count"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      val columnar = df.select(col("id"),
+          TextOps.ngramRepStatsColumnar(col("text"), n).as("s"))
+        .select(col("id"), col("s.n_grams"), col("s.n_distinct"), col("s.max_count"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      assert(native.sortBy(_._1).toSeq == columnar.sortBy(_._1).toSeq, s"n=$n")
+    }
+    // hand check: "a b a b a b" 2-grams = [ab, ba, ab, ba, ab] ->
+    // 5 grams, 2 distinct, mode count 3
+    val hand = df.filter(col("id") === 0L)
+      .select(TextOps.ngramRepStats(col("text"), 2).as("s"))
+      .select(col("s.n_grams"), col("s.n_distinct"), col("s.max_count"))
+      .head()
+    assert((hand.getInt(0), hand.getInt(1), hand.getInt(2)) == ((5, 2, 3)))
+  }
+
+  test("repetition features flag templated docs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "buy now click here buy now click here buy now click here"),
+      (1L, "the quick brown fox jumps over a lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val feats = df.select(col("doc_id"),
+        TextOps.ngramRepStats(col("text"), 2).as("rs"))
+      .select(col("doc_id") +:
+        TextOps.repetitionFeatures(col("rs")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(feats(0L) > 0.2 && feats(1L) < 0.2) // top_ngram_frac separates
+  }
+
+  // ---------------- PII scrubbing ----------------
+
+  test("pii redaction replaces emails, phones, urls with placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.b+c@sub.example.org or call 555-123-4567 now"),
+      (1L, "see https://a.example.com/p?q=1#f and http://b.io/x"),
+      (2L, "clean text with no pii at all"),
+      (3L, "edge 12-34-5678 not a phone; user@@bad not an email"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextOps.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "mail <EMAIL> or call <PHONE> now")
+    assert(got(1L) == "see <URL> and <URL>")
+    assert(got(2L) == "clean text with no pii at all")
+    assert(got(3L) == "edge 12-34-5678 not a phone; user@@bad not an email")
+    // counts agree with what redaction replaced
+    val counts = df.select(col("id") +:
+        TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(counts(0L) == ((1, 1, 0)))
+    assert(counts(1L) == ((0, 0, 2)))
+    assert(counts(2L) == ((0, 0, 0)))
+    // redaction is idempotent (placeholders contain no PII shapes)
+    val again = df.select(col("id"),
+        TextOps.redactPii(TextOps.redactPii(col("text"))).as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+}

@@ -318,8 +318,10 @@ class DataOpsSpec extends AnyFunSuite {
       assert(byId(v.media_id) == (v.n_frames + 4) / 5,
         s"frame count mismatch for ${v.media_id}")
 
-    // determinism probe: same id -> same blob
+    // determinism probe: same id -> same payload bytes
     assert(java.util.Arrays.equals(
-      Multimodal.syntheticBlob(7, "image"), Multimodal.syntheticBlob(7, "image")))
+      Multimodal.syntheticImage(7), Multimodal.syntheticImage(7)))
+    assert(java.util.Arrays.equals(
+      Multimodal.syntheticVideo(7), Multimodal.syntheticVideo(7)))
   }
 }

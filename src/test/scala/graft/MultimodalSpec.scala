@@ -5,14 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop}
 import graft.operators.Multimodal
 
-/** Pins the multimodal codec surface: the REAL BMP/WAV codecs are
+/** Pins the multimodal codec surface: the REAL BMP/WAV/y4m codecs are
   * cross-checked against committed golden files produced by an
-  * INDEPENDENT encoder (python struct packing — see
-  * src/test/resources/golden.{bmp,wav}), round-trip property tests pin
-  * encode/decode identity and the real nearest-neighbor resize, and
-  * golden-binary fixtures freeze the remaining ===STUB=== video blob
-  * layout so a future real video codec swap is observable at exactly
-  * that seam.
+  * INDEPENDENT encoder (python struct/byte packing — see
+  * src/test/resources/golden.{bmp,wav,y4m}), round-trip property tests
+  * pin encode/decode identity and the real nearest-neighbor resizes,
+  * and hostile-header cases pin that corrupt payloads FAIL the decode
+  * instead of being misparsed or spinning the frame walk.
   */
 class MultimodalSpec extends AnyFunSuite {
 
@@ -93,46 +92,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.bmpPixel(up, 3, 1) == 0x00FF00) // (3*4/8, 1*2/4) = (1,0)
   }
 
-  test("golden binaries: the remaining video STUB blob layout is frozen") {
-    // (id) -> (width, height, nFrames, byteLen, md5 of the blob)
-    val golden = Seq(
-      2L -> (16, 68, 20, 1242, "88fd1fc3ecd01e21e71babdb5368a887"),
-      7L -> (184, 28, 8, 615, "edfd95c6b7819c027625ab488c064485"))
-    for ((id, (w, h, f, len, hash)) <- golden) {
-      val b = Multimodal.syntheticBlob(id, "video")
-      assert(md5(b) == hash, s"stub blob $id bytes changed")
-      assert(b.length == len)
-      assert(Multimodal.decodeStub(b) == ((w, h, f)), s"decode $id")
-    }
-    // corrupt magic must be rejected, not misparsed
-    val bad = Multimodal.syntheticBlob(2L, "video").clone()
-    bad(0) = 0x00
-    assertThrows[IllegalArgumentException](Multimodal.decodeStub(bad))
+  test("REAL y4m codec decodes an independently-encoded golden file") {
+    val v = resource("golden.y4m") // 4x2 C420jpeg, 2 frames, python-encoded
+    assert(Multimodal.decodeY4m(v) == ((4, 2, 2)))
+    assert(Multimodal.decodeMeta(v) == ((4, 2, 2)))
+    // exact luma planes, per frame
+    assert(Multimodal.y4mFrameY(v, 0).map(_ & 0xFF).toSeq ==
+      Seq(0, 50, 100, 150, 200, 250, 10, 60))
+    assert(Multimodal.y4mFrameY(v, 1).map(_ & 0xFF).toSeq ==
+      Seq(255, 255, 255, 255, 0, 0, 0, 0))
+    assertThrows[IllegalArgumentException](Multimodal.y4mFrameY(v, 2))
   }
 
-  test("stub resize keeps the video header contract") {
-    check(Prop.forAll(Gen.choose(0L, 500L), Gen.choose(1, 4096),
-      Gen.choose(1, 4096)) { (id, w, h) =>
-      val b = Multimodal.syntheticBlob(id, "video")
-      val (_, _, f0) = Multimodal.decodeStub(b)
-      val r = Multimodal.resize(b, w, h)
-      val (w1, h1, f1) = Multimodal.decodeStub(r)
-      (w1, h1) == ((w, h)) && f1 == f0 && r.length <= 16 + 64
+  test("y4m encode/decode/frame round-trip (property)") {
+    check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12),
+      Gen.choose(1, 8), Gen.choose(0L, 100000L)) { (w2, h2, f, seed) =>
+      val (w, h) = (w2 * 2, h2 * 2) // 4:2:0 needs even dims
+      val fb = w * h + 2 * (w / 2) * (h / 2)
+      val frames = (0 until f).map(fi => Array.tabulate(fb)(i =>
+        (graft.sources.Synth.mix(seed, fi.toLong, i.toLong) & 0xFF).toByte))
+      val v = Multimodal.encodeY4m(w, h, frames)
+      Multimodal.decodeY4m(v) == ((w, h, f)) &&
+        (0 until f).forall(fi => java.util.Arrays.equals(
+          Multimodal.y4mFrameY(v, fi),
+          java.util.Arrays.copyOf(frames(fi), w * h)))
     })
   }
 
-  test("frame sampling emits ceil(nFrames/stride) rows per video") {
+  test("REAL y4m resize resamples every plane of every frame") {
+    val v = resource("golden.y4m")
+    val r = Multimodal.resize(v, 2, 2)
+    assert(Multimodal.decodeY4m(r) == ((2, 2, 2)))
+    // nearest-neighbor on frame 0 luma: (x*4/2, y*2/2) picks (0,0),(2,0),(0,1),(2,1)
+    assert(Multimodal.y4mFrameY(r, 0).map(_ & 0xFF).toSeq ==
+      Seq(0, 100, 200, 10))
+    // upscale keeps replicated neighbors
+    val up = Multimodal.resize(v, 8, 4)
+    assert(Multimodal.decodeY4m(up) == ((8, 4, 2)))
+    assert((Multimodal.y4mFrameY(up, 1)(0) & 0xFF) == 255)
+    assert((Multimodal.y4mFrameY(up, 1)(8 * 3) & 0xFF) == 0) // bottom row
+  }
+
+  test("hostile y4m headers fail the decode instead of misparsing") {
+    val v = resource("golden.y4m")
+    // bad magic
+    val bad = v.clone(); bad(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Multimodal.decodeY4m(bad))
+    // truncated final frame
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeY4m(java.util.Arrays.copyOf(v, v.length - 3)))
+    // absurd dimensions must fail before any frame math
+    assertThrows[IllegalArgumentException](Multimodal.decodeY4m(
+      "YUV4MPEG2 W2000000 H2000000 C420jpeg\nFRAME\n".getBytes("US-ASCII")))
+    // garbage between frames
+    val garbled = v.clone()
+    val fIdx = new String(v, "ISO-8859-1").indexOf("FRAME", 20)
+    garbled(fIdx) = 'G'.toByte
+    assertThrows[IllegalArgumentException](Multimodal.decodeY4m(garbled))
+    // unterminated stream header
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG2 W4 H2".getBytes("US-ASCII")))
+  }
+
+  test("frame sampling emits ceil(nFrames/stride) rows with real luma means") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, 60)
     for (stride <- Seq(1, 3, 5, 7)) {
       val got = Multimodal.sampleFrames(media, stride)
         .groupBy("media_id").count().as[(Long, Long)].collect().toMap
       val want = media.collect().filter(_.kind == "video").map { m =>
-        val (_, _, f) = Multimodal.decodeStub(m.payload)
+        val (_, _, f) = Multimodal.decodeY4m(m.payload)
         m.media_id -> ((f + stride - 1) / stride).toLong
       }.toMap
       assert(got == want, s"stride=$stride")
     }
+    // real per-frame luma: golden.y4m frame means are 102.5 and 127.5
+    val g = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", resource("golden.y4m"))))
+    val rows = Multimodal.sampleFrames(g, 1)
+      .orderBy("frame_idx")
+      .as[(Long, Int, Int, Int, Double)].collect()
+    assert(rows.map(_._5).toSeq == Seq(102.5, 127.5))
   }
 
   test("features: real image/audio statistics, bounded, deterministic") {

@@ -245,4 +245,52 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("first("), "nondeterministic first() crept back in")
   }
+
+  test("component star rounds are equi-joins on 16-byte edge rows") {
+    import spark.implicits._
+    val edges = Seq((3L, 1L), (5L, 2L), (7L, 1L)).toDF("u", "v")
+    for ((name, round) <- Seq(
+        "large-star" -> operators.Components.largeStar(edges),
+        "small-star" -> operators.Components.smallStar(
+          operators.Components.largeStar(edges)))) {
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to a non-equi join:\n$plan")
+      // the join output carries only node/min columns — no payloads
+      val opt = round.queryExecution.optimizedPlan
+      for (j <- opt.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j })
+        assert(j.output.map(_.name).toSet.subsetOf(Set("u", "v", "m", "_mn")),
+          s"$name join carries unexpected payload columns: ${j.output}")
+    }
+  }
+
+  test("deterministic sampling is pure map work: no shuffle anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "sample" -> operators.Sampling.sample(docs, "doc_id", 0.2, "s"),
+        "stratified" -> operators.Sampling.stratifiedSample(docs, "doc_id",
+          "lang", Map("en" -> 0.1), 0.5, "s"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name sampling shuffles — it must stay map-only:\n$plan")
+    }
+  }
+
+  test("tf-idf joins broadcast the term-sized sides, never sort-merge") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = operators.Relevance.tfIdfQuantized(docs, "doc_id", "text",
+        Seq("spark", "window")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"term/idf join degraded to sort-merge:\n$plan")
+  }
+
+  test("repetition stats shuffle only for the final sort") {
+    val plan = SparkEntry.queries("q41_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q41 must be map-only up to the presentation sort:\n$plan")
+  }
 }
