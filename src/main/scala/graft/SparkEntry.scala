@@ -36,6 +36,14 @@ object SparkEntry {
   def mediaMeta(s: SparkSession): DataFrame =
     operators.Multimodal.decode(operators.Multimodal.mediaTable(s, 300)).toDF()
 
+  /** Sampled video frames with real per-frame luma means (q45 base).
+    * y_mean is an exact rational (integer luma sum / plane size), so
+    * the doubles are bit-identical wherever they are recomputed.
+    */
+  def videoFrames(s: SparkSession): DataFrame =
+    operators.Multimodal.sampleFrames(
+      operators.Multimodal.mediaTable(s, 300), stride = 5)
+
   /** Event-time-versioned dimension annotation (q31 base). */
   def versionedAnn(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -181,6 +189,7 @@ object SparkEntry {
         operators.TextOps.hashEmbedding(col("text"), 64).as("vec"))),
     "ss_versioned_ann" -> ((s, _) => ssVersionedAnn(s)
       .select(col("conv_id"), col("turn_idx"), col("epoch"), col("highest_tier"))),
+    "video_frames" -> ((s, _) => videoFrames(s)),
     "renders" -> ((s, _) => rendersDF(s)),
     "pred_entries" -> ((s, _) => predEntriesDF(s)),
     "var_names" -> ((s, _) => varNamesDF(s)))
@@ -541,6 +550,19 @@ object SparkEntry {
             .map { case (n, c) => c.as(n) } :+
           operators.TextOps.redactPii(col("aug")).as("redacted"): _*)
         .orderBy(col("doc_id"))
+    }),
+    "q45_frame_sample" -> ((s, _) => {
+      // REAL per-frame video decode: frame explode + luma stats,
+      // aggregated per media row. The oracle re-derives the same
+      // aggregate from the Verify-dumped frame relation — dump and
+      // query must agree frame-for-frame (min/max over bit-identical
+      // rationals, no order-sensitive float sums)
+      videoFrames(s)
+        .groupBy(col("media_id"), col("width"), col("height"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("y_mean")).as("y_min"),
+          max(col("y_mean")).as("y_max"))
+        .orderBy(col("media_id"))
     }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -990,6 +1012,11 @@ object SparkEntry {
                '<EMAIL>', 'g'),
              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
          FROM a ORDER BY doc_id""",
+    "q45_frame_sample" ->
+      s"""SELECT media_id, width, height, count(*) AS n_sampled,
+           min(y_mean) AS y_min, max(y_mean) AS y_max
+         FROM ${rel("video_frames")}
+         GROUP BY 1, 2, 3 ORDER BY media_id""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,

@@ -14,9 +14,15 @@ import graft.streaming.StreamingPipeline.{DocEvent, StreamConfig}
   * queries off one file source (event-time-ordered micro-batches):
   *
   *   1. curation: exact content dedup (first arrival per normalized
-  *      fingerprint, 8-byte state) -> quality-score filter -> language
-  *      id + BPE token count + fingerprint enrichment -> exactly-once
-  *      snapshot sink partitioned by predicted language;
+  *      fingerprint, 8-byte state) -> quality-score filter ->
+  *      repetition filter (top-2-gram fraction) -> deterministic
+  *      hash-threshold sample -> PII redaction -> language id + BPE
+  *      token count + fingerprint enrichment -> exactly-once snapshot
+  *      sink partitioned by predicted language. The filter/sample/
+  *      redact stages are pure row functions, so they are replay-safe
+  *      under micro-batch retries by construction (the hash sample
+  *      keeps the same rows on every replay — a seeded random sample
+  *      would not);
   *   2. near-dup side channel: streaming SimHash pair detection with
   *      bounded per-bucket state -> parquet append sink (the review
   *      queue a production pipeline feeds its dedup decisions from).
@@ -80,11 +86,17 @@ object StreamDocRun {
     val curated = deduped
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.05)
+      .withColumn("rs", TextOps.ngramRepStats(col("text"), 2))
+      .withColumn("top_ngram_frac",
+        TextOps.repetitionFeatures(col("rs")).toMap.apply("top_ngram_frac"))
+      .filter(col("top_ngram_frac") <= 0.25)
+      .filter(graft.operators.Sampling.hashKeep(col("doc_id"), 0.9, "curate"))
       .select(col("doc_id"), col("ts"),
         TextOps.langId(col("text")).as("lang_pred"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"),
         TextOps.fingerprint64(col("text")).as("fp"),
-        col("quality"))
+        col("quality"), col("top_ngram_frac"),
+        TextOps.redactPii(col("text")).as("text_redacted"))
     val q1 = curated.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$outDir/ckpt1")
