@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds the most recent `connectedComponents` call took to
+    * converge (diagnostic only — benchmarks report it).
+    */
+  @volatile private var lastRoundsVar: Int = 0
+  def lastRounds: Int = lastRoundsVar
+
   /** (node, component) for every node appearing in `pairs`
     * (columns doc_a, doc_b); component = the minimum node id of the
     * node's connected component. Roots map to themselves.
@@ -73,6 +79,7 @@ object Components {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
+    lastRoundsVar = it
     // at the fixpoint the edge set is a star forest: every edge links a
     // node directly to its component root. Nodes that appear only as
     // roots (u side never) map to themselves.
@@ -95,11 +102,15 @@ object Components {
     val mins = sym.groupBy(col("u"))
       .agg(min(col("v")).as("_mn"))
       .select(col("u"), least(col("u"), col("_mn")).as("m"))
+    // no dedup and no self-loop filter here — both hold by
+    // construction (m ≤ u < v ⇒ m < v), and duplicates are harmless
+    // to the downstream min-aggregations; small-star's distinct
+    // canonicalizes the round. Skipping the dedup saves one full
+    // shuffle per round — the rounds are latency-bound at moderate
+    // edge counts, so per-round stages are the cost that matters.
     sym.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: every node connects its SMALLER-or-equal neighbors
