@@ -103,6 +103,23 @@ object SparkEntry {
   // so the Verify dump and q28 MUST consume the same materialization.
   private val ivfCandCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  // The exact-jaccard near-dup pair relation is consumed by three
+  // queries (q36 pairs, q37 greedy dedup, q40 connected components) —
+  // exactly how a real pipeline works: pairs are computed once and the
+  // dedup decisions fan out from them. Memoize + persist per
+  // (session, sfDir) so the posting self-join runs once per session,
+  // not once per consumer. Deterministic (pure hash math), so oracle
+  // agreement is unaffected.
+  private val jaccardPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      operators.NearDup.jaccardNearDups(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxDocFreq = 10000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   def ivfCand(s: SparkSession, dir: String): DataFrame =
     ivfCandCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val emb = t(s, dir, "embeddings")
@@ -473,18 +490,14 @@ object SparkEntry {
       // O(maxDocFreq²) per shingle; at the tested scales no shingle's
       // doc-frequency reaches it, so the uncapped DuckDB oracle must
       // agree bit-for-bit (cap-vs-uncapped recall pinned in DataOpsSpec)
-      operators.NearDup.jaccardNearDups(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
-        maxDocFreq = 10000)
+      jaccardPairs(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q37_dedup_keep_first" -> ((s, dir) => {
       // dedup plan over the exact-jaccard near-dup pairs: keep the
       // smallest id of each near-dup star (left_anti against doc_b)
-      val docs = t(s, dir, "documents")
-      val pairs = operators.NearDup.jaccardNearDups(
-        docs, "doc_id", "text", threshold = 0.5, maxDocFreq = 10000)
-      operators.NearDup.dedupKeepFirst(docs, "doc_id", pairs)
+      operators.NearDup.dedupKeepFirst(
+          t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -493,10 +506,8 @@ object SparkEntry {
       // (alternating large-star/small-star): every doc labeled with its
       // cluster minimum — the transitive-closure dedup the greedy
       // keep-first plan approximates
-      val docs = t(s, dir, "documents")
-      val pairs = operators.NearDup.jaccardNearDups(
-        docs, "doc_id", "text", threshold = 0.5, maxDocFreq = 10000)
-      operators.Components.componentsForDocs(docs, "doc_id", pairs)
+      operators.Components.componentsForDocs(
+          t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
         .orderBy(col("doc_id"))
     }),
     "q41_repetition" -> ((s, dir) => {
@@ -563,6 +574,47 @@ object SparkEntry {
           min(col("y_mean")).as("y_min"),
           max(col("y_mean")).as("y_max"))
         .orderBy(col("media_id"))
+    }),
+    "q46_corpus_stats" -> ((s, dir) => {
+      // per-source corpus reporting incl. an EXACT median: the inputs
+      // are small integers, so the 0.5-percentile interpolation
+      // ((a+b)/2 of two ints) is bit-identical across engines — the
+      // general cross-engine float law does not bite here
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          median(col("n_tok")).as("median_tok"))
+        .orderBy(col("source"))
+    }),
+    "q47_top_tokens" -> ((s, dir) => {
+      // corpus heavy hitters: explode -> partial-aggregated count ->
+      // global top-k with a deterministic tiebreak. The shuffle
+      // carries (token, partial count) — map-side combine bounds it
+      // by the per-partition vocabulary, not the corpus token count
+      t(s, dir, "documents")
+        .select(explode(operators.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+    "q48_vocab" -> ((s, dir) => {
+      // per-language vocabulary cardinality, EXACT (two-phase distinct
+      // aggregate — the oracle-checkable path). At corpus scale the
+      // one-pass mergeable-sketch variant is approx_count_distinct
+      // (HLL); DataOpsSpec pins it within 5% of this exact result
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(operators.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("token")).as("n_vocab"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("lang"))
     }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1017,6 +1069,28 @@ object SparkEntry {
            min(y_mean) AS y_min, max(y_mean) AS y_max
          FROM ${rel("video_frames")}
          GROUP BY 1, 2, 3 ORDER BY media_id""",
+    "q46_corpus_stats" ->
+      """WITH t AS (SELECT source,
+           length(string_split_regex(trim(text), '\s+')) AS n_tok
+         FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+           median(n_tok) AS median_tok
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q47_top_tokens" ->
+      """WITH tok AS (SELECT
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+         FROM documents)
+         SELECT token, count(*) AS n FROM tok
+         GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
+    "q48_vocab" ->
+      """WITH tok AS (SELECT lang,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+         FROM documents)
+         SELECT lang, count(DISTINCT token) AS n_vocab,
+           count(*) AS n_tokens
+         FROM tok GROUP BY 1 ORDER BY 1""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,

@@ -19,7 +19,7 @@ object TextOps {
     * engines agree on the dialect.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"))
 
   /** Word n-gram shingles, hashed to 64-bit — the input to
     * MinHash/Jaccard. Distinct, so downstream set ops are exact.
@@ -70,8 +70,10 @@ object TextOps {
     val toks = tokens(text)
     val nTok = size(toks)
     val nChar = length(text)
-    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
-    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    // regexp_count, not size(regexp_extract_all): counting matches
+    // must not materialize a per-char match array per row
+    val nPunct = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+    val nDigit = regexp_count(text, lit("[0-9]"))
     val nStop = size(filter(toks, t =>
       t.isin(stopwords: _*)))
     val nUniq = size(array_distinct(toks))
@@ -120,11 +122,13 @@ object TextOps {
   val urlRe = "https?://[^\\s]+"
   val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
-  /** Per-document PII hit counts (pure map-side Columns). */
+  /** Per-document PII hit counts (pure map-side Columns; match
+    * counting without materializing match arrays).
+    */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> size(regexp_extract_all(text, lit(emailRe), lit(0))),
-    "n_phones" -> size(regexp_extract_all(text, lit(phoneRe), lit(0))),
-    "n_urls" -> size(regexp_extract_all(text, lit(urlRe), lit(0))))
+    "n_emails" -> regexp_count(text, lit(emailRe)),
+    "n_phones" -> regexp_count(text, lit(phoneRe)),
+    "n_urls" -> regexp_count(text, lit(urlRe)))
 
   /** Redact PII with typed placeholders. URLs first: a URL may embed
     * @ or digit runs, and redacting it before the email/phone passes

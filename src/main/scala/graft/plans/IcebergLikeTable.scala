@@ -108,8 +108,15 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     * manifest log, exactly as in Iceberg, so data files written but not
     * (or no longer) referenced are invisible to readers.
     */
-  def liveBatches(): Seq[Long] = {
-    val all = snapshots()
+  def liveBatches(): Seq[Long] = liveBatchesAsOf(Long.MaxValue)
+
+  /** The batch ids that were live when `asOf` was the newest committed
+    * snapshot: manifests after it don't exist yet from that snapshot's
+    * point of view, so replacements recorded by later compactions
+    * don't apply either.
+    */
+  private def liveBatchesAsOf(asOf: Long): Seq[Long] = {
+    val all = snapshots().filter(_ <= asOf)
     val dead = all.flatMap(replacedBy).toSet
     all.filterNot(dead)
   }
@@ -121,6 +128,55 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     import org.apache.spark.sql.functions.col
     val live = liveBatches()
     spark.read.parquet(root).filter(col("_batch_id").isin(live: _*))
+  }
+
+  /** TIME TRAVEL: the table exactly as of committed snapshot `asOf` —
+    * the manifest log replays to that point, so a compaction committed
+    * later does not hide the original per-batch files. Fails loudly if
+    * `asOf` was never committed or its data files have since been
+    * reclaimed by `expireSnapshots` (reading silently-empty history
+    * would be worse than refusing).
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, asOf: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(committed(asOf), s"snapshot $asOf was never committed")
+    val live = liveBatchesAsOf(asOf)
+    val missing = live.filterNot(id =>
+      Files.exists(Paths.get(root).resolve(s"_batch_id=$id")) ||
+        dirWithBatchExists(id))
+    require(missing.isEmpty,
+      s"snapshot $asOf is expired: batch dirs ${missing.mkString(",")} reclaimed")
+    spark.read.parquet(root).filter(col("_batch_id").isin(live: _*))
+  }
+
+  /** The batch-id dirs live UNDER the partition dirs (partitionBy puts
+    * `_batch_id` innermost), so existence needs a walk.
+    */
+  private def dirWithBatchExists(id: Long): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val seg = s"_batch_id=$id"
+    Files.walk(Paths.get(root)).iterator().asScala
+      .exists(p => p.getFileName != null && p.getFileName.toString == seg)
+  }
+
+  /** Reclaim the data files of every DEAD snapshot (committed but
+    * replaced by a compaction). Split from `compact` exactly as
+    * Iceberg splits rewrite_data_files from expire_snapshots: until
+    * expiry runs, `readAsOf` can time-travel to pre-compaction
+    * snapshots; after it, those reads fail loudly. Safe at any time —
+    * readers resolve state from manifests, never directory listings.
+    */
+  def expireSnapshots(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dead = snapshots().toSet -- liveBatches().toSet
+    if (dead.isEmpty) return
+    // exact path-SEGMENT match: a substring test would make
+    // "_batch_id=1" also hit "_batch_id=100" (a live snapshot!)
+    val deadDirs = dead.map(id => s"_batch_id=$id")
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq
+      .filter(p => p.iterator().asScala.exists(seg => deadDirs(seg.toString)))
+      .reverse
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
   }
 
   /** Compact the small per-batch files (THE streaming-sink pathology at
@@ -135,8 +191,10 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     *     `replaces:[..]`, flipping readers to the consolidated files in
     *     one step (a crash before it leaves the old snapshots live and
     *     the new files unreferenced/invisible);
-    *  3. replaced partition directories are deleted best-effort AFTER
-    *     the commit (readers never list unreferenced dirs).
+    *  3. replaced data files are NOT deleted here — `expireSnapshots`
+    *     reclaims them separately (Iceberg's rewrite_data_files vs
+    *     expire_snapshots split), so `readAsOf` can still time-travel
+    *     to pre-compaction snapshots until expiry runs.
     * `compactionId` must be larger than every live batch id.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, compactionId: Long,
@@ -183,15 +241,5 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(compactionId), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // post-commit cleanup of dereferenced files (safe: readers resolve
-    // state from manifests, not directory listings)
-    import scala.jdk.CollectionConverters._
-    // exact path-SEGMENT match: a substring test would make
-    // "_batch_id=1" also hit "_batch_id=100" (the new snapshot!)
-    val deadDirs = live.map(id => s"_batch_id=$id").toSet
-    Files.walk(Paths.get(root)).iterator().asScala.toSeq
-      .filter(p => p.iterator().asScala.exists(seg => deadDirs(seg.toString)))
-      .reverse
-      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
   }
 }

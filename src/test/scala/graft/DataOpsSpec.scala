@@ -324,4 +324,17 @@ class DataOpsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       Multimodal.syntheticVideo(7), Multimodal.syntheticVideo(7)))
   }
+
+  test("HLL vocabulary estimate tracks the exact two-phase distinct") {
+    // the q48 scale path: approx_count_distinct is one mergeable-sketch
+    // pass (no second shuffle stage); it must stay within its error
+    // bound of the exact aggregate the oracle checks
+    val tok = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val exact = tok.agg(countDistinct(col("token"))).head().getLong(0)
+    val approx = tok.agg(approx_count_distinct(col("token"), rsd = 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact drifted beyond 5%")
+  }
 }

@@ -308,8 +308,24 @@ class StreamingSpec extends AnyFunSuite {
     val after = table.read(spark).drop("_batch_id")
       .collect().map(_.toString).sorted
     assert(after.toSeq == before.toSeq, "compaction changed table contents")
+    // TIME TRAVEL: until expiry, pre-compaction snapshots stay readable
+    // and replay the manifest log to their point in time
+    val asOf3 = table.readAsOf(spark, 3L).drop("_batch_id")
+      .collect().map(_.toString).sorted
+    assert(asOf3.toSeq == before.toSeq, "time travel to snapshot 3 drifted")
+    assert(table.readAsOf(spark, 1L).count() < before.length.toLong,
+      "snapshot 1 must predate batches 2-3")
+    assertThrows[IllegalArgumentException](table.readAsOf(spark, 55L))
+    // expiry reclaims the dead snapshots' files (rewrite vs expire
+    // split); after it, history reads fail loudly instead of
+    // returning silently-empty results
+    table.expireSnapshots()
     assert(files() < filesBefore,
-      s"compaction did not reduce file count (${files()} vs $filesBefore)")
+      s"expiry did not reduce file count (${files()} vs $filesBefore)")
+    assert(table.read(spark).drop("_batch_id")
+      .collect().map(_.toString).sorted.toSeq == before.toSeq,
+      "expiry changed the live table")
+    assertThrows[IllegalArgumentException](table.readAsOf(spark, 3L))
     // idempotent: re-running the same compaction id is a no-op
     table.compact(spark, compactionId = 100L)
     assert(table.read(spark).count() == before.length.toLong)
