@@ -616,6 +616,43 @@ object SparkEntry {
           count(lit(1)).as("n_tokens"))
         .orderBy(col("lang"))
     }),
+    "q49_sliding_value_window" -> ((s, dir) => {
+      // event-time RANGE window: per-user trailing-1-hour event count
+      // and quantized value sum. RANGE (not ROWS) is the semantics a
+      // time-window needs — peers at the same timestamp aggregate
+      // together regardless of row order; values are quantized to
+      // integers BEFORE the windowed sum so the aggregate is exact on
+      // any engine and any intra-window order. floor, not round: the
+      // product value*1000 is the same IEEE double on both engines, and
+      // floor has no tie boundary for the engines' rounding modes to
+      // disagree on (the q38 cross-engine rounding law)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("epoch"),
+          floor(col("value") * 1000).cast("long").as("v_q"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_v_1h", sum(col("v_q")).over(w))
+        .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_v_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q50_rank_family" -> ((s, dir) => {
+      // the rank-family window surface over a deterministic ordering:
+      // dense_rank/ntile partition the corpus into length tiers;
+      // percent_rank/cume_dist are exact rationals of integer ranks,
+      // so the doubles agree bit-for-bit across engines
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("lang"), col("n_chars"), col("doc_id"))
+    }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1091,6 +1128,27 @@ object SparkEntry {
          SELECT lang, count(DISTINCT token) AS n_vocab,
            count(*) AS n_tokens
          FROM tok GROUP BY 1 ORDER BY 1""",
+    "q49_sliding_value_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+           epoch(ts) AS epoch,
+           CAST(floor(value * 1000) AS BIGINT) AS v_q
+         FROM events)
+         SELECT user_id, event_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(v_q) OVER w AS BIGINT) AS sum_v_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q50_rank_family" ->
+      """SELECT lang, doc_id, n_chars,
+           dense_rank() OVER w AS rnk,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+         ORDER BY lang, n_chars, doc_id""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
