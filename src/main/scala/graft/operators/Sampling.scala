@@ -26,8 +26,12 @@ object Sampling {
     */
   def rateThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    if (rate >= 1.0) "g"
-    else f"${math.round(rate * 4294967296.0)}%08x"
+    val q = math.round(rate * 4294967296.0)
+    // a rate rounding up to 2^32 would format as NINE hex digits, and
+    // the longer string compares LESS than every 8-digit prefix
+    // (lexicographic "1..." < "f...") — i.e. it would keep nothing.
+    // Any q >= 2^32 means keep-all.
+    if (q >= 4294967296L) "g" else f"$q%08x"
   }
 
   /** Keep-predicate: first 8 md5 hex chars of "key:salt" below the

@@ -141,22 +141,19 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     import org.apache.spark.sql.functions.col
     require(committed(asOf), s"snapshot $asOf was never committed")
     val live = liveBatchesAsOf(asOf)
-    val missing = live.filterNot(id =>
-      Files.exists(Paths.get(root).resolve(s"_batch_id=$id")) ||
-        dirWithBatchExists(id))
+    // ONE walk collects the present batch-id dirs (partitionBy puts
+    // `_batch_id` innermost, under the partition dirs)
+    val present: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(root)).iterator().asScala
+        .flatMap(p => Option(p.getFileName).map(_.toString))
+        .filter(_.startsWith("_batch_id="))
+        .toSet
+    }
+    val missing = live.filterNot(id => present(s"_batch_id=$id"))
     require(missing.isEmpty,
       s"snapshot $asOf is expired: batch dirs ${missing.mkString(",")} reclaimed")
     spark.read.parquet(root).filter(col("_batch_id").isin(live: _*))
-  }
-
-  /** The batch-id dirs live UNDER the partition dirs (partitionBy puts
-    * `_batch_id` innermost), so existence needs a walk.
-    */
-  private def dirWithBatchExists(id: Long): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val seg = s"_batch_id=$id"
-    Files.walk(Paths.get(root)).iterator().asScala
-      .exists(p => p.getFileName != null && p.getFileName.toString == seg)
   }
 
   /** Reclaim the data files of every DEAD snapshot (committed but

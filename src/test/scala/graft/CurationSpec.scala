@@ -23,6 +23,10 @@ class CurationSpec extends AnyFunSuite {
     assert(Sampling.rateThreshold(0.25) == "40000000")
     assert(Sampling.rateThreshold(0.5) == "80000000")
     assert(Sampling.rateThreshold(1.0) == "g")
+    // a rate that ROUNDS to 2^32 must keep-all, not format nine hex
+    // digits (which would lexicographically keep nothing)
+    assert(Sampling.rateThreshold(0.9999999999) == "g")
+    assert(Sampling.rateThreshold(0.999999) == "ffffef39")
     assertThrows[IllegalArgumentException](Sampling.rateThreshold(1.5))
   }
 
