@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: no step ever materializes a component member list or
   * an all-pairs join; every pass is groupBy(node).min or a node-keyed
-  * equi-join. Per-round results are localCheckpoint'ed and the
-  * previous round unpersisted, so both lineage and the logical plan
-  * stay one round deep.
+  * equi-join. Per-round results are materialized as persisted RDDs
+  * re-entered through createDataset, so both lineage and the logical
+  * plan stay one round deep and superseded rounds' blocks are
+  * actually freed.
   */
 object Components {
 
@@ -48,29 +49,43 @@ object Components {
     * throws rather than returning silently-partial components.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // canonical directed form: (u, v) with v < u ("points to smaller").
-    // Each round is localCheckpoint'ed, NOT merely persisted: an
-    // iterative DataFrame loop grows the logical plan geometrically
+    // Iterative DataFrame loops grow the logical plan geometrically
     // (every round re-embeds the previous round's plan twice — the
-    // aggregation side and the join side), and Catalyst re-analyzes the
-    // whole accumulated tree per round, which stalls after ~6 rounds.
-    // localCheckpoint truncates lineage at the materialized blocks.
-    // (On a real cluster with executor churn, prefer reliable
-    // checkpoint(): setCheckpointDir + checkpoint() — same call shape,
-    // HDFS-backed; localCheckpoint blocks die with their executor.)
-    var edges = pairs
+    // aggregation side and the join side) and Catalyst re-analyzes the
+    // whole accumulated tree per round, stalling after ~6 rounds. Each
+    // round is therefore materialized as a PERSISTED RDD and re-entered
+    // through createDataset: the wrapped RDD is a leaf to Catalyst, so
+    // both lineage and the plan stay one round deep — and holding the
+    // RDD reference lets the loop actually FREE the previous round's
+    // blocks (Dataset.unpersist after Dataset.localCheckpoint is a
+    // CacheManager no-op: the checkpoint's internal RDD never registers
+    // there, so nothing would be released). The previous round is only
+    // unpersisted AFTER the next round's checksum action has fully
+    // materialized its successor. The final round's blocks back the
+    // returned DataFrame and stay cached — one edge set, bounded by
+    // the node count. (On a real cluster with executor churn, reliable
+    // checkpoint() to HDFS replaces the persist call — same loop.)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def materialize(df: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], DataFrame) = {
+      val rdd = df.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (rdd, spark.createDataset(rdd).toDF("u", "v"))
+    }
+    var (edgesRdd, edges) = materialize(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    var chk = checksum(edges)
+      .distinct())
+    var chk = checksum(edges) // action: materializes the persisted RDD
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val (nextRdd, next) = materialize(smallStar(largeStar(edges)))
       val nextChk = checksum(next)
-      edges.unpersist(false)
+      edgesRdd.unpersist(false) // safe: `next` is fully materialized
+      edgesRdd = nextRdd
       edges = next
       converged = nextChk == chk
       chk = nextChk
@@ -87,9 +102,7 @@ object Components {
     val roots = edges.select(col("v").as("node")).distinct()
       .join(members.select(col("node")), Seq("node"), "left_anti")
       .withColumn("component", col("node"))
-    val out = members.unionByName(roots)
-    edges.unpersist(false)
-    out
+    members.unionByName(roots)
   }
 
   /** Large-star: every node connects its LARGER neighbors to the

@@ -238,15 +238,18 @@ object Multimodal {
     (w, h, cs, nl + 1)
   }
 
-  /** Walk the FRAME markers -> (width, height, nFrames). Every frame
-    * must carry its full plane payload; trailing garbage or a
-    * truncated final frame fails the decode.
+  /** ONE walk over the FRAME markers -> (width, height, per-frame data
+    * offsets). Every frame must carry its full plane payload; trailing
+    * garbage or a truncated final frame fails the walk. This is the
+    * shared single pass every consumer (decode, features, frame
+    * sampling) indexes into — per-frame point access re-walking the
+    * stream would make F-frame processing O(F²).
     */
-  def decodeY4m(payload: Array[Byte]): (Int, Int, Int) = {
+  private def y4mFrameOffsets(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val (w, h, cs, body) = y4mHeader(payload)
     val fb = y4mFrameBytes(cs, w, h)
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
     var pos = body
-    var n = 0
     while (pos < payload.length) {
       require(pos + 5 <= payload.length &&
         new String(payload, pos, 5, "US-ASCII") == "FRAME",
@@ -256,32 +259,26 @@ object Multimodal {
       while (nl < bound && payload(nl) != '\n') nl += 1
       require(nl < bound, "unterminated y4m FRAME header")
       require(nl + 1 + fb.toLong <= payload.length, "truncated y4m frame data")
+      offs += nl + 1
       pos = nl + 1 + fb
-      n += 1
     }
-    (w, h, n)
+    (w, h, offs.toArray)
   }
 
-  /** The Y (luma) plane of frame `idx` — real per-frame pixel access. */
+  /** (width, height, nFrames) of a y4m stream. */
+  def decodeY4m(payload: Array[Byte]): (Int, Int, Int) = {
+    val (w, h, offs) = y4mFrameOffsets(payload)
+    (w, h, offs.length)
+  }
+
+  /** The Y (luma) plane of frame `idx` — point access; batch consumers
+    * use the offset index directly so the walk happens once.
+    */
   def y4mFrameY(payload: Array[Byte], idx: Int): Array[Byte] = {
-    val (w, h, cs, body) = y4mHeader(payload)
-    val fb = y4mFrameBytes(cs, w, h)
-    var pos = body
-    var n = 0
-    while (pos < payload.length) {
-      require(pos + 5 <= payload.length &&
-        new String(payload, pos, 5, "US-ASCII") == "FRAME", "corrupt y4m")
-      val bound = math.min(payload.length, pos + 256)
-      var nl = pos + 5
-      while (nl < bound && payload(nl) != '\n') nl += 1
-      require(nl < bound, "unterminated y4m FRAME header")
-      require(nl + 1 + fb.toLong <= payload.length, "truncated y4m frame data")
-      if (n == idx)
-        return java.util.Arrays.copyOfRange(payload, nl + 1, nl + 1 + w * h)
-      pos = nl + 1 + fb
-      n += 1
-    }
-    throw new IllegalArgumentException(s"y4m frame $idx out of range ($n frames)")
+    val (w, h, offs) = y4mFrameOffsets(payload)
+    require(idx >= 0 && idx < offs.length,
+      s"y4m frame $idx out of range (${offs.length} frames)")
+    java.util.Arrays.copyOfRange(payload, offs(idx), offs(idx) + w * h)
   }
 
   /** Encode planar frames as a canonical y4m stream. Each frame must
@@ -502,24 +499,26 @@ object Multimodal {
             (hist(2).toDouble / n * 2 - 1).toFloat,
             (hist(3).toDouble / n * 2 - 1).toFloat))
         case p => // REAL y4m video: luma statistics + temporal activity
-          val (w, h, f) = decodeY4m(p)
-          val n = w.toLong * h * f
+          // one offset walk, then in-place reads — no per-frame copies
+          val (w, h, offs) = y4mFrameOffsets(p)
+          val f = offs.length
+          val yLen = w * h
+          val n = yLen.toLong * f
           var sum = 0.0; var sum2 = 0.0
           val hist = new Array[Long](4)
           var dSum = 0.0 // mean |frame-to-frame| luma delta
-          var prev: Array[Byte] = null
           var fi = 0
           while (fi < f) {
-            val yp = y4mFrameY(p, fi)
+            val off = offs(fi)
+            val prevOff = if (fi > 0) offs(fi - 1) else -1
             var i = 0
-            while (i < yp.length) {
-              val v = yp(i) & 0xFF
+            while (i < yLen) {
+              val v = p(off + i) & 0xFF
               sum += v; sum2 += v.toDouble * v
               hist(v / 64) += 1
-              if (prev != null) dSum += math.abs(v - (prev(i) & 0xFF))
+              if (prevOff >= 0) dSum += math.abs(v - (p(prevOff + i) & 0xFF))
               i += 1
             }
-            prev = yp
             fi += 1
           }
           val mean = sum / n
@@ -549,20 +548,20 @@ object Multimodal {
 
   /** Frame sampling for video rows: every `stride`-th frame as its own
     * row with REAL per-frame luma statistics — the explode-shaped op a
-    * video pipeline needs. One mapPartitions-style pass; the frame walk
-    * is sequential within the payload, so sampling N of F frames reads
-    * only the sampled Y planes.
+    * video pipeline needs. One FRAME-marker walk per payload (the
+    * offset index), then only the sampled Y planes are read, in place.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 5): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val (w, h, f) = decodeY4m(m.payload)
-      (0 until f by stride).map { i =>
-        val yp = y4mFrameY(m.payload, i)
+      val (w, h, offs) = y4mFrameOffsets(m.payload)
+      val yLen = w * h
+      (0 until offs.length by stride).map { i =>
+        val off = offs(i)
         var s = 0L
         var j = 0
-        while (j < yp.length) { s += (yp(j) & 0xFF); j += 1 }
-        (m.media_id, i, w, h, s.toDouble / yp.length)
+        while (j < yLen) { s += (m.payload(off + j) & 0xFF); j += 1 }
+        (m.media_id, i, w, h, s.toDouble / yLen)
       }
     }.toDF("media_id", "frame_idx", "width", "height", "y_mean")
   }

@@ -62,6 +62,12 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val n = docs.count()
+    // empty corpus: avg(dl) is NULL and getDouble would NPE — return
+    // the empty result with the right schema instead. (A non-empty
+    // corpus always has avgdl >= 1: the tokenizer yields one empty
+    // token for blank text, so dl is never 0.)
+    if (n == 0)
+      return docs.select(col(idCol), lit(0.0).as("bm25")).limit(0)
     val lens = docs.select(col(idCol).as("doc"),
       size(TextOps.tokens(col(textCol))).as("dl"))
     val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)

@@ -137,22 +137,23 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     * reclaimed by `expireSnapshots` (reading silently-empty history
     * would be worse than refusing).
     */
+  private def expiredMarker(batchId: Long) =
+    manifestDir.resolve(f"expired-$batchId%08d")
+
   def readAsOf(spark: org.apache.spark.sql.SparkSession, asOf: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(committed(asOf), s"snapshot $asOf was never committed")
     val live = liveBatchesAsOf(asOf)
-    // ONE walk collects the present batch-id dirs (partitionBy puts
-    // `_batch_id` innermost, under the partition dirs)
-    val present: Set[String] = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(root)).iterator().asScala
-        .flatMap(p => Option(p.getFileName).map(_.toString))
-        .filter(_.startsWith("_batch_id="))
-        .toSet
-    }
-    val missing = live.filterNot(id => present(s"_batch_id=$id"))
-    require(missing.isEmpty,
-      s"snapshot $asOf is expired: batch dirs ${missing.mkString(",")} reclaimed")
+    // expiry INTENT is the gate, not surviving directories: a batch
+    // whose tombstone exists may have lost any subset of its partition
+    // dirs (expireSnapshots crashed mid-delete, or a per-path delete
+    // failed), and dir-existence checks cannot distinguish "all data
+    // present" from "one partition left of five" — which would read as
+    // silently partial history. The tombstone is written BEFORE the
+    // first delete, so its presence always means "unreadable".
+    val expired = live.filter(id => Files.exists(expiredMarker(id)))
+    require(expired.isEmpty,
+      s"snapshot $asOf is expired: batches ${expired.mkString(",")} reclaimed")
     spark.read.parquet(root).filter(col("_batch_id").isin(live: _*))
   }
 
@@ -167,6 +168,15 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     import scala.jdk.CollectionConverters._
     val dead = snapshots().toSet -- liveBatches().toSet
     if (dead.isEmpty) return
+    // tombstone FIRST, delete after: a crash or a failed per-path
+    // delete can leave a dead batch with a partial dir set, and
+    // readAsOf must refuse such a snapshot rather than return the
+    // surviving subset as if it were the whole history
+    Files.createDirectories(manifestDir)
+    dead.foreach { id =>
+      try Files.write(expiredMarker(id), Array.emptyByteArray)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
     // exact path-SEGMENT match: a substring test would make
     // "_batch_id=1" also hit "_batch_id=100" (a live snapshot!)
     val deadDirs = dead.map(id => s"_batch_id=$id")

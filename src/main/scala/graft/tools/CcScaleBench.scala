@@ -17,6 +17,11 @@ import graft.operators.Components
 object CcScaleBench {
   def main(args: Array[String]): Unit = {
     val nNodes = args.lift(0).map(_.toLong).getOrElse(4000000L)
+    // full trailing blocks only: a remainder block holding just a chain
+    // head / star hub has no edges, so it would appear in
+    // expect_components but not in the CC output and the printed
+    // self-validation would mismatch on a CORRECT run
+    require(nNodes % 128 == 0, s"nNodes must be a multiple of 128, got $nNodes")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

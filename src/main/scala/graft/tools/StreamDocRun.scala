@@ -89,7 +89,11 @@ object StreamDocRun {
       .withColumn("rs", TextOps.ngramRepStats(col("text"), 2))
       .withColumn("top_ngram_frac",
         TextOps.repetitionFeatures(col("rs")).toMap.apply("top_ngram_frac"))
-      .filter(col("top_ngram_frac") <= 0.25)
+      // length floor: below ~20 grams the fraction is dominated by the
+      // denominator (a clean 4-token doc has top frac 1/3), so the
+      // repetition gate only applies above it — the standard guard on
+      // Gopher-style repetition filters
+      .filter(col("rs.n_grams") < 20 || col("top_ngram_frac") <= 0.25)
       .filter(graft.operators.Sampling.hashKeep(col("doc_id"), 0.9, "curate"))
       .select(col("doc_id"), col("ts"),
         TextOps.langId(col("text")).as("lang_pred"),
