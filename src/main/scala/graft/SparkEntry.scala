@@ -653,6 +653,17 @@ object SparkEntry {
         .withColumn("cume", cume_dist().over(w))
         .orderBy(col("lang"), col("n_chars"), col("doc_id"))
     }),
+    "q51_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 50th doc plays the eval set;
+      // training docs sharing >= 10 trigrams with it are flagged —
+      // catches the planted near-dup leakage exact dedup misses
+      val all = t(s, dir, "documents")
+      operators.TextOps.contamination(
+          all.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          all.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          n = 3, minShared = 10)
+        .orderBy(col("doc"), col("eval_doc"))
+    }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1149,6 +1160,23 @@ object SparkEntry {
          FROM documents
          WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
          ORDER BY lang, n_chars, doc_id""",
+    "q51_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         corpus AS (SELECT doc_id AS doc, unnest(sh) AS s
+           FROM sh WHERE doc_id % 50 <> 0),
+         ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS s
+           FROM sh WHERE doc_id % 50 = 0)
+         SELECT c.doc, e.eval_doc, count(*) AS n_shared
+         FROM corpus c JOIN ev e USING (s)
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY 1, 2""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,

@@ -110,6 +110,37 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // Benchmark decontamination (eval-set n-gram overlap)
+  // ---------------------------------------------------------------------
+
+  /** Training-corpus contamination against an evaluation set: every
+    * (corpus doc, eval doc) pair sharing at least `minShared` distinct
+    * word n-grams — the standard decontamination check run before a
+    * pretraining corpus ships, catching verbatim and near-verbatim
+    * benchmark leakage that exact dedup misses.
+    *
+    * Scale shape: the EVAL side is benchmark-sized, so its exploded
+    * shingle postings broadcast; the corpus-side pass is then
+    * explode → broadcast hash join → partial-aggregated count — the
+    * only shuffle carries (doc, eval_doc) hit pairs, bounded by actual
+    * overlap, never by corpus size. Shingles are per-doc distinct, so
+    * a plain count is the distinct shared-shingle count.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    evalDocs: DataFrame, evalIdCol: String,
+                    evalTextCol: String, n: Int = 3,
+                    minShared: Int = 10): DataFrame = {
+    val corpus = docs.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val evalSh = evalDocs.select(col(evalIdCol).as("eval_doc"),
+      explode(shingles(col(evalTextCol), n)).as("s"))
+    corpus.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ---------------------------------------------------------------------
   // PII scrubbing (training-corpus release hygiene)
   // ---------------------------------------------------------------------
 

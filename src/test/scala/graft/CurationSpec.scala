@@ -151,6 +151,39 @@ class CurationSpec extends AnyFunSuite {
     assert(feats(0L) > 0.2 && feats(1L) < 0.2) // top_ngram_frac separates
   }
 
+  // ---------------- decontamination ----------------
+
+  test("contamination flags eval overlap that exact dedup misses") {
+    import spark.implicits._
+    val evalText = "the quick brown fox jumps over the lazy dog near a river bend today"
+    val train = Seq(
+      // verbatim leak with a changed tail — not an exact duplicate
+      (0L, evalText.replace("today", "tomorrow")),
+      // partial leak: shares a phrase but few trigrams
+      (1L, "quick brown fox spotted elsewhere in unrelated words entirely now"),
+      (2L, "completely different content with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val flagged = graft.operators.TextOps.contamination(
+        train, "doc_id", "text", evalSet, "doc_id", "text",
+        n = 3, minShared = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.map(_._1).toSet == Set(0L), s"got ${flagged.toSeq}")
+    // the near-verbatim doc shares all but the final trigrams
+    assert(flagged.head._3 >= 10)
+    // shared counts are DISTINCT shingles: a doc repeating an eval
+    // phrase many times must not inflate its overlap
+    val repeat = Seq((5L, ("the quick brown fox " * 10).trim)).toDF("doc_id", "text")
+    val rep = graft.operators.TextOps.contamination(
+        repeat, "doc_id", "text", evalSet, "doc_id", "text",
+        n = 3, minShared = 1)
+      .collect().map(r => r.getLong(2))
+    // distinct trigrams of the repeated phrase that also occur in eval:
+    // "the quick brown", "quick brown fox" (+ the wrap-around grams
+    // "brown fox the" / "fox the quick" which eval does NOT contain)
+    assert(rep.head == 2, s"expected 2 distinct shared trigrams, got ${rep.toSeq}")
+  }
+
   // ---------------- PII scrubbing ----------------
 
   test("pii redaction replaces emails, phones, urls with placeholders") {
