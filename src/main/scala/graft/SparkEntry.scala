@@ -664,6 +664,25 @@ object SparkEntry {
           n = 3, minShared = 10)
         .orderBy(col("doc"), col("eval_doc"))
     }),
+    "q52_chunking" -> ((s, dir) => {
+      // context-window preparation: overlapping 32-token chunks at
+      // stride 24 (map-only explode; tokenizer runs once per doc)
+      operators.Chunking.chunkTokens(
+          t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "q53_packing" -> ((s, dir) => {
+      // greedy sequential packing into 512-token bins per language:
+      // bin = preceding-cumulative-tokens div budget — deterministic
+      // on any partitioning (the window ordering is total)
+      val base = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(operators.TextOps.tokens(col("text"))).as("n_tok"))
+      operators.Chunking.packBins(base, "lang", "doc_id", "n_tok",
+          budget = 512)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1177,6 +1196,31 @@ object SparkEntry {
          FROM corpus c JOIN ev e USING (s)
          GROUP BY 1, 2 HAVING count(*) >= 10
          ORDER BY 1, 2""",
+    "q52_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks,
+             ((greatest(len(toks) - 32, 0) + 23) // 24) + 1 AS n_chunks
+           FROM tok),
+         ex AS (SELECT doc_id, toks,
+             unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+             AS chunk_text,
+           len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS n_chunk_tokens
+         FROM ex ORDER BY doc_id, chunk_idx""",
+    "q53_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+           length(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+         FROM documents),
+         p AS (SELECT lang, doc_id, n_tok,
+           coalesce(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS prev
+         FROM t)
+         SELECT lang, doc_id, n_tok, prev // 512 AS bin
+         FROM p ORDER BY lang, doc_id""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,

@@ -151,6 +151,48 @@ class CurationSpec extends AnyFunSuite {
     assert(feats(0L) > 0.2 && feats(1L) < 0.2) // top_ngram_frac separates
   }
 
+  // ---------------- chunking + packing ----------------
+
+  test("chunkTokens covers every token with the expected overlap") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((0L, text), (1L, "short doc only"), (2L, "")).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking.chunkTokens(df, "doc_id", "text",
+        window = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // 100 tokens, window 32, stride 24: ceil(68/24)+1 = 4 chunks
+    assert(byDoc(0L).length == 4)
+    // every chunk except the last is full; starts advance by stride
+    val d0 = byDoc(0L).sortBy(_._2)
+    assert(d0.init.forall(_._4 == 32) && d0.last._4 == 100 - 3 * 24)
+    for ((c, i) <- d0.zipWithIndex)
+      assert(c._3.startsWith(s"t${i * 24 + 1} "), s"chunk $i misaligned: ${c._3.take(20)}")
+    // consecutive chunks overlap by window - stride tokens
+    assert(d0(0)._3.split(" ").drop(24).toSeq == d0(1)._3.split(" ").take(8).toSeq)
+    // short and empty docs yield exactly one (partial) chunk
+    assert(byDoc(1L).length == 1 && byDoc(1L).head._4 == 3)
+    assert(byDoc(2L).length == 1)
+  }
+
+  test("packBins fills budget bins sequentially and deterministically") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => ("s", i, 100)).toDF("lang", "doc_id", "n_tok")
+    val got = graft.operators.Chunking.packBins(df, "lang", "doc_id", "n_tok", 512)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // 100-token docs into 512-token bins: bin advances every ~5 docs
+    // (greedy: a doc starting below the boundary overflows its bin)
+    assert(got(0L) == 0 && got(4L) == 0) // prev-cum 400 < 512
+    assert(got(5L) == 0)                 // prev-cum 500 < 512: overflows bin 0
+    assert(got(6L) == 1)                 // prev-cum 600
+    assert(got(29L) == (29L * 100) / 512)
+    // partitioning independence
+    val re = graft.operators.Chunking.packBins(
+        df.repartition(7), "lang", "doc_id", "n_tok", 512)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(re == got)
+  }
+
   // ---------------- decontamination ----------------
 
   test("contamination flags eval overlap that exact dedup misses") {
