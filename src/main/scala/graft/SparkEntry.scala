@@ -683,6 +683,24 @@ object SparkEntry {
           budget = 512)
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "q54_stream_packing" -> ((s, dir) => {
+      // the STREAMING packing operator (per-stratum running-total
+      // flatMapGroupsWithState) executed on a batch Dataset: with a
+      // constant event time its (ts, doc_id) processing order equals
+      // packBins' doc_id ordering, so it must match q53's oracle
+      // row-for-row
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select(col("lang").as("stratum"), col("doc_id"),
+          size(operators.TextOps.tokens(col("text"))).as("n_tok"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+        .as[streaming.StreamingPipeline.PackEvent]
+      streaming.StreamingPipeline.packBinsStream(base,
+          streaming.StreamingPipeline.StreamConfig(), budget = 512)
+        .select(col("stratum").as("lang"), col("doc_id"),
+          col("n_tok"), col("bin"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1211,6 +1229,17 @@ object SparkEntry {
            len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS n_chunk_tokens
          FROM ex ORDER BY doc_id, chunk_idx""",
     "q53_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+           length(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+         FROM documents),
+         p AS (SELECT lang, doc_id, n_tok,
+           coalesce(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS prev
+         FROM t)
+         SELECT lang, doc_id, n_tok, prev // 512 AS bin
+         FROM p ORDER BY lang, doc_id""",
+    "q54_stream_packing" ->
       """WITH t AS (SELECT lang, doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
          FROM documents),

@@ -320,6 +320,46 @@ object StreamingPipeline {
         GroupStateTimeout.EventTimeTimeout)(fsm)
   }
 
+  final case class PackEvent(stratum: String, doc_id: Long, n_tok: Int,
+      ts: Timestamp)
+  final case class PackedDoc(stratum: String, doc_id: Long, n_tok: Int,
+      bin: Long)
+  final case class PackState(cumTokens: Long)
+
+  /** STREAMING greedy sequential packing — the stateful counterpart of
+    * Chunking.packBins: each stratum carries ONE running token count
+    * across micro-batches, so bin assignment continues seamlessly as
+    * the corpus streams in (bin = floor(preceding-cumulative / budget),
+    * same greedy-overflow semantics as the batch operator). State is
+    * a single Long per stratum — strata are language/source-sized, so
+    * total state is O(#strata) regardless of corpus size, and nothing
+    * ever needs eviction. Within a micro-batch, rows process in
+    * (event time, doc_id) order (group iterators carry no ordering
+    * guarantee); batch-mode execution over an entire corpus therefore
+    * equals `Chunking.packBins` row-for-row (spec-pinned, and q54's
+    * oracle is q53's SQL).
+    */
+  def packBinsStream(docs: Dataset[PackEvent], cfg: StreamConfig,
+                     budget: Int = 1024): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    def fsm(stratum: String, rows: Iterator[PackEvent],
+            state: GroupState[PackState]): Iterator[PackedDoc] = {
+      var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+        val bin = cum / budget
+        cum += r.n_tok
+        PackedDoc(stratum, r.doc_id, r.n_tok, bin)
+      }
+      state.update(PackState(cum))
+      out.iterator
+    }
+    val wm = if (docs.isStreaming)
+      docs.withWatermark("ts", cfg.watermark) else docs
+    wm.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fsm)
+  }
+
   /** Start the per-turn annotation sink: exactly-once via checkpoint +
     * idempotent partition replace keyed (data_type, conv bucket).
     */

@@ -110,6 +110,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == want)
   }
 
+  test("streaming packing == batch packBins, with state across micro-batches") {
+    import spark.implicits._
+    import StreamingPipeline.{PackEvent, PackedDoc}
+    // two strata, varying token counts, event-time ordered
+    val rnd = new scala.util.Random(5)
+    val events = (0L until 60L).map { i =>
+      PackEvent(if (i % 3 == 0) "en" else "de", i, 50 + rnd.nextInt(200),
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }
+    // batch ground truth: the window-function operator over the same
+    // ordering (ts increases with doc_id here)
+    val want = graft.operators.Chunking.packBins(
+        events.toDF(), "stratum", "doc_id", "n_tok", budget = 512)
+      .select(col("stratum"), col("doc_id"), col("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // streamed in 4 micro-batches: the per-stratum running total must
+    // carry across batch boundaries (a reset would restart bins at 0)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[PackEvent]
+    val q = StreamingPipeline.packBinsStream(mem.toDS(),
+        StreamConfig(watermark = "1 hour"), budget = 512)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- events.grouped(15)) {
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("pack_out").as[PackedDoc]
+      .collect().map(p => (p.stratum, p.doc_id, p.bin)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the stream crossed bin boundaries (not all zero)
+    assert(got.exists(_._3 > 0))
+
+    // batch-mode execution of the SAME operator equals the batch path
+    val batchGot = StreamingPipeline.packBinsStream(
+        spark.createDataset(events), StreamConfig(), budget = 512)
+      .collect().map(p => (p.stratum, p.doc_id, p.bin)).toSet
+    assert(batchGot == want)
+  }
+
   test("streaming near-dup per-bucket cap bounds state on templated bursts") {
     import spark.implicits._
     import StreamingPipeline.DocEvent
