@@ -654,13 +654,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("n_chars"), col("doc_id"))
     }),
     "q51_decontaminate" -> ((s, dir) => {
-      // benchmark decontamination: every 50th doc plays the eval set;
+      // benchmark decontamination: a FIXED-SIZE eval set (first 10 doc
+      // ids — benchmark-sized at every scale factor, honoring the
+      // operator's broadcast precondition; a %-of-corpus eval set
+      // would grow the forced broadcast linearly with the corpus);
       // training docs sharing >= 10 trigrams with it are flagged —
-      // catches the planted near-dup leakage exact dedup misses
+      // the planted near-dup leakage exact dedup misses
       val all = t(s, dir, "documents")
       operators.TextOps.contamination(
-          all.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
-          all.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          all.filter(col("doc_id") >= 10), "doc_id", "text",
+          all.filter(col("doc_id") < 10), "doc_id", "text",
           n = 3, minShared = 10)
         .orderBy(col("doc"), col("eval_doc"))
     }),
@@ -1207,9 +1210,9 @@ object SparkEntry {
                i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
            FROM tok),
          corpus AS (SELECT doc_id AS doc, unnest(sh) AS s
-           FROM sh WHERE doc_id % 50 <> 0),
+           FROM sh WHERE doc_id >= 10),
          ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS s
-           FROM sh WHERE doc_id % 50 = 0)
+           FROM sh WHERE doc_id < 10)
          SELECT c.doc, e.eval_doc, count(*) AS n_shared
          FROM corpus c JOIN ev e USING (s)
          GROUP BY 1, 2 HAVING count(*) >= 10

@@ -502,6 +502,10 @@ object Multimodal {
           // one offset walk, then in-place reads — no per-frame copies
           val (w, h, offs) = y4mFrameOffsets(p)
           val f = offs.length
+          // a header-only stream (0 frames) is a valid y4m but has
+          // nothing to featurize — fail like the empty-WAV branch does
+          // rather than emit an all-NaN vector into the ANN paths
+          require(f > 0, "empty y4m: no frames to featurize")
           val yLen = w * h
           val n = yLen.toLong * f
           var sum = 0.0; var sum2 = 0.0

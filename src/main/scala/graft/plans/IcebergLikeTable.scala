@@ -144,16 +144,30 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     import org.apache.spark.sql.functions.col
     require(committed(asOf), s"snapshot $asOf was never committed")
     val live = liveBatchesAsOf(asOf)
-    // expiry INTENT is the gate, not surviving directories: a batch
-    // whose tombstone exists may have lost any subset of its partition
-    // dirs (expireSnapshots crashed mid-delete, or a per-path delete
-    // failed), and dir-existence checks cannot distinguish "all data
-    // present" from "one partition left of five" — which would read as
-    // silently partial history. The tombstone is written BEFORE the
-    // first delete, so its presence always means "unreadable".
+    // two gates, both required:
+    //  1. expiry INTENT (tombstone): a batch whose tombstone exists may
+    //     have lost any subset of its partition dirs (expireSnapshots
+    //     crashed mid-delete, or a per-path delete failed), and
+    //     dir-existence alone cannot distinguish "all data present"
+    //     from "one partition left of five". The tombstone is written
+    //     BEFORE the first delete, so its presence means "unreadable".
+    //  2. dir PRESENCE: data lost out-of-band (manual cleanup, tables
+    //     expired by an older binary with no tombstones, partial copy)
+    //     has no tombstone — a batch with NO surviving dir at all must
+    //     still refuse rather than read back silently empty.
     val expired = live.filter(id => Files.exists(expiredMarker(id)))
     require(expired.isEmpty,
       s"snapshot $asOf is expired: batches ${expired.mkString(",")} reclaimed")
+    val present: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(root)).iterator().asScala
+        .flatMap(p => Option(p.getFileName).map(_.toString))
+        .filter(_.startsWith("_batch_id="))
+        .toSet
+    }
+    val missing = live.filterNot(id => present(s"_batch_id=$id"))
+    require(missing.isEmpty,
+      s"snapshot $asOf lost batch dirs ${missing.mkString(",")} (no tombstone)")
     spark.read.parquet(root).filter(col("_batch_id").isin(live: _*))
   }
 
@@ -173,10 +187,9 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     // readAsOf must refuse such a snapshot rather than return the
     // surviving subset as if it were the whole history
     Files.createDirectories(manifestDir)
-    dead.foreach { id =>
-      try Files.write(expiredMarker(id), Array.emptyByteArray)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
+    // default open options (CREATE + TRUNCATE_EXISTING) make a rewrite
+    // of an existing marker an idempotent no-op
+    dead.foreach(id => Files.write(expiredMarker(id), Array.emptyByteArray))
     // exact path-SEGMENT match: a substring test would make
     // "_batch_id=1" also hit "_batch_id=100" (a live snapshot!)
     val deadDirs = dead.map(id => s"_batch_id=$id")

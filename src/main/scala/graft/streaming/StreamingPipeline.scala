@@ -334,10 +334,16 @@ object StreamingPipeline {
     * a single Long per stratum — strata are language/source-sized, so
     * total state is O(#strata) regardless of corpus size, and nothing
     * ever needs eviction. Within a micro-batch, rows process in
-    * (event time, doc_id) order (group iterators carry no ordering
-    * guarantee); batch-mode execution over an entire corpus therefore
-    * equals `Chunking.packBins` row-for-row (spec-pinned, and q54's
-    * oracle is q53's SQL).
+    * (event time, doc_id) order — group iterators carry no ordering
+    * guarantee, so each invocation BUFFERS its group before sorting.
+    * That buffer is bounded by one stratum's rows in ONE micro-batch
+    * (trigger-sized — the streaming deployment shape this operator
+    * exists for), NOT by corpus size. Batch-mode execution buffers the
+    * whole stratum in one task and exists for parity testing and
+    * small corpora; a large BATCH corpus should use
+    * `Chunking.packBins`, whose window function sorts with spill.
+    * Batch-mode output equals `Chunking.packBins` row-for-row
+    * (spec-pinned, and q54's oracle is q53's SQL).
     */
   def packBinsStream(docs: Dataset[PackEvent], cfg: StreamConfig,
                      budget: Int = 1024): Dataset[PackedDoc] = {

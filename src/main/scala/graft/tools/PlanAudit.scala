@@ -46,6 +46,7 @@ object PlanAudit {
         val singleEx = count(plan, "Exchange SinglePartition")
         val bhj = count(plan, "BroadcastHashJoin")
         val smj = count(plan, "SortMergeJoin")
+        val shj = count(plan, "ShuffledHashJoin")
         val nlj = count(plan, "BroadcastNestedLoopJoin")
         val cart = count(plan, "CartesianProduct")
         // codegen stages appear as "*(id)" prefixes in plan toString
@@ -56,10 +57,10 @@ object PlanAudit {
           else if (nlj > 0 && !intendedNlj(name)) "NLJ!"
           else if (nlj > 0) "nlj-by-design"
           else ""
-        f"| $name | $hashEx | $rangeEx | $singleEx | $bhj | $smj | $nlj | $codegen | $flag |"
+        f"| $name | $hashEx | $rangeEx | $singleEx | $bhj | $smj | $shj | $nlj | $codegen | $flag |"
       } catch {
         case e: Throwable =>
-          s"| $name | - | - | - | - | - | - | - | ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)} |"
+          s"| $name | - | - | - | - | - | - | - | - | ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)} |"
       }
     }
 
@@ -79,8 +80,8 @@ object PlanAudit {
         |
         |""".stripMargin
     val body = header +
-      "| query | hashEx | rangeEx | singleEx | BHJ | SMJ | NLJ | codegen | flag |\n" +
-      "|---|---|---|---|---|---|---|---|---|\n" +
+      "| query | hashEx | rangeEx | singleEx | BHJ | SMJ | SHJ | NLJ | codegen | flag |\n" +
+      "|---|---|---|---|---|---|---|---|---|---|\n" +
       rows.mkString("\n") + "\n"
     Files.write(Paths.get(outFile), body.getBytes("UTF-8"))
     println(s"wrote $outFile (${rows.size} queries)")
