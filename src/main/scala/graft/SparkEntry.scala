@@ -704,6 +704,15 @@ object SparkEntry {
           col("n_tok"), col("bin"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "q55_dedup_canonical" -> ((s, dir) => {
+      // component-canonical dedup: exactly the minimum-id doc of every
+      // near-dup cluster survives — the transitive-closure-correct
+      // counterpart of q37's greedy star-drop
+      operators.Components.dedupByComponent(
+          t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q38_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1253,6 +1262,29 @@ object SparkEntry {
          FROM t)
          SELECT lang, doc_id, n_tok, prev // 512 AS bin
          FROM p ORDER BY lang, doc_id""",
+    "q55_dedup_canonical" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 4) >= 0.5),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT u, v FROM edges
+           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u, least(u, min(v)) AS component
+           FROM reach GROUP BY u)
+         SELECT d.doc_id FROM documents d
+         LEFT JOIN comp c ON c.u = d.doc_id
+         WHERE c.u IS NULL OR c.component = d.doc_id
+         ORDER BY d.doc_id""",
     "q38_quality_score" ->
       """WITH f AS (SELECT doc_id,
            length(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
