@@ -31,6 +31,7 @@ object Bench {
       // timing: the cache lifetime is per-operator, and letting blocks
       // accumulate across 36 queries distorts later queries' memory
       graft.operators.NearDup.unpersistAll()
+      graft.operators.Components.releaseAll()
       (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

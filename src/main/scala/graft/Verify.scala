@@ -43,6 +43,7 @@ object Verify {
         System.err.println(s"[verify] dump $name failed: ${e.getMessage}")
       }
       graft.operators.NearDup.unpersistAll()
+      graft.operators.Components.releaseAll()
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -51,6 +52,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       graft.operators.NearDup.unpersistAll()
+      graft.operators.Components.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -46,18 +46,28 @@ object Chunking {
   }
 
   /** Greedy sequential packing: within each stratum (ordered by
-    * `orderCol`) documents fill `budget`-token bins by running token
-    * count — bin = floor(preceding-cumulative-tokens / budget). The
-    * deterministic streaming-pack shape real corpus builders use: a
-    * document landing on a boundary overflows its bin rather than
-    * splitting (chunk first if splitting is wanted). One window
-    * function over the stratum ordering — the shuffle is the stratum
-    * partitioning itself, nothing more.
+    * `orderCol`, then `tieBreakCols`) documents fill `budget`-token
+    * bins by running token count — bin =
+    * floor(preceding-cumulative-tokens / budget). The deterministic
+    * streaming-pack shape real corpus builders use: a document landing
+    * on a boundary overflows its bin rather than splitting (chunk
+    * first if splitting is wanted). One window function over the
+    * stratum ordering — the shuffle is the stratum partitioning
+    * itself, nothing more.
+    *
+    * Determinism contract: bin assignment is a pure function of the
+    * input ONLY when (orderCol, tieBreakCols...) is a total order
+    * within each stratum — rows tied on the full ordering can swap
+    * cumulative positions across runs/partitionings, changing bin
+    * assignment. Callers whose orderCol is not unique (e.g. a
+    * timestamp) must pass a unique tiebreak column (e.g. the doc id).
     */
   def packBins(docs: DataFrame, strataCol: String, orderCol: String,
-               tokCol: String, budget: Int = 1024): DataFrame = {
+               tokCol: String, budget: Int = 1024,
+               tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(orderCol) +: tieBreakCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("_prev", coalesce(sum(col(tokCol)).over(w), lit(0L)))

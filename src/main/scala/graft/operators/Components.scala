@@ -38,6 +38,46 @@ object Components {
   @volatile private var lastRoundsVar: Int = 0
   def lastRounds: Int = lastRoundsVar
 
+  /** FINAL-round checkpoint RDDs of completed `connectedComponents`
+    * calls. Each run's last localCheckpoint backs the DataFrame it
+    * returns, so it cannot be freed inside the loop — but a long-lived
+    * session running CC repeatedly (Bench, Verify) would otherwise
+    * accumulate one cached edge set per run with no reachable handle.
+    * Mirrors `NearDup.persistTracked`: bounded (oldest evicted — only
+    * the cache win is lost, the DataFrame recomputes from the
+    * truncated plan... which for a checkpoint leaf means the blocks
+    * are gone, so eviction only happens after `MaxTracked` newer runs,
+    * by which time the old result has been consumed), with an explicit
+    * `releaseAll()` for harnesses to call between queries.
+    *
+    * NOTE on eviction semantics: unlike a persisted Dataset, an
+    * unpersisted localCheckpoint RDD is NOT lazily recomputable — the
+    * lineage was truncated. `releaseAll()` must only run after the
+    * results of prior CC calls have been fully consumed (the Bench /
+    * Verify per-query boundary, where every action on the result has
+    * completed).
+    */
+  private val MaxTracked = 4
+  private val finalRoundRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  private def trackFinal(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    finalRoundRdds.add(rdd)
+    while (finalRoundRdds.size > MaxTracked) {
+      val old = finalRoundRdds.poll()
+      if (old != null) old.unpersist(false)
+    }
+  }
+
+  /** Free the cached edge-set blocks of every completed CC run. Call
+    * only at a point where prior CC results are no longer needed (see
+    * note above — checkpointed blocks do not recompute).
+    */
+  def releaseAll(): Unit = {
+    var rdd = finalRoundRdds.poll()
+    while (rdd != null) { rdd.unpersist(false); rdd = finalRoundRdds.poll() }
+  }
+
   /** (node, component) for every node appearing in `pairs`
     * (columns doc_a, doc_b); component = the minimum node id of the
     * node's connected component. Roots map to themselves.
@@ -95,6 +135,7 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     lastRoundsVar = it
+    trackFinal(edgesRdd) // final round backs the result; freed via releaseAll()
     // at the fixpoint the edge set is a star forest: every edge links a
     // node directly to its component root. Nodes that appear only as
     // roots (u side never) map to themselves.

@@ -35,7 +35,8 @@ object Multimodal {
     *  - image: (width, height) pixels, n_frames = 1;
     *  - audio: width = sample rate (Hz), height = channel count,
     *    n_frames = samples per channel;
-    *  - video (stub): fake header dims and frame count.
+    *  - video: (width, height) pixels from the real y4m stream header,
+    *    n_frames = FRAME markers counted by the codec walk.
     */
   final case class MediaMeta(
       media_id: Long, kind: String, width: Int, height: Int,
@@ -430,11 +431,13 @@ object Multimodal {
     })
   }
 
-  /** REAL feature extraction for images (channel means + gray std +
-    * 4-bin gray histogram) and audio (level/dynamics + 4-bin |sample|
-    * histogram); hash-derived ===STUB=== for video. All slots lie in
-    * [-1, 1]; `dim` beyond the 8 computed slots zero-pads (truncates
-    * below). One mapPartitions pass, fixed-size vectors out.
+  /** REAL feature extraction for all three kinds: images (channel
+    * means + gray std + 4-bin gray histogram), audio (level/dynamics +
+    * 4-bin |sample| histogram), and video (decoded Y-plane mean/std,
+    * mean frame-to-frame luma delta, frame count, 4-bin luma
+    * histogram — from the y4m codec's single offset walk). All slots
+    * lie in [-1, 1]; `dim` beyond the 8 computed slots zero-pads
+    * (truncates below). One mapPartitions pass, fixed-size vectors out.
     */
   def features(media: Dataset[MediaRow], dim: Int = 8): DataFrame = {
     import media.sparkSession.implicits._

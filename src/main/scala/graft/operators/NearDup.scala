@@ -47,6 +47,48 @@ object NearDup {
     while (df != null) { df.unpersist(false); df = persistedRelations.poll() }
   }
 
+  /** Hot shingles dropped by the most recent CAPPED `jaccardNearDups`
+    * run observed on this JVM (-1 until a capped run completes).
+    * Diagnostic: lets tests and operators confirm whether a run was
+    * actually capped (the cap is silent in the result otherwise).
+    * Updated asynchronously by the query-execution listener after the
+    * materializing action finishes.
+    */
+  @volatile private var lastCapDroppedVar: Long = -1L
+  def lastCapDropped: Long = lastCapDroppedVar
+  private[graft] def resetCapDropped(): Unit = lastCapDroppedVar = -1L
+
+  private val CapMetricName = "graft_jaccard_cap"
+  private val capListenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  /** Register (once per session) the listener that surfaces the
+    * observed cap metric: a capped run that actually dropped shingles
+    * logs loudly instead of silently diverging from an uncapped
+    * oracle.
+    */
+  private def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.get(CapMetricName).foreach { row =>
+              val dropped = row.getLong(0)
+              lastCapDroppedVar = dropped
+              if (dropped > 0)
+                org.apache.log4j.Logger.getLogger(NearDup.getClass).warn(
+                  s"jaccardNearDups cap DROPPED $dropped hot shingle(s) " +
+                    s"(of ${row.getLong(1)} distinct): result is exact " +
+                    "Jaccard over the retained vocabulary, not the full one")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+
   /** k minhash values over a shingle array, computed in ONE pass by the
     * native MinHashSigExpression (graft.plans.TextExpressions) — the
     * composed-Column form (k array_min/transform traversals) measured
@@ -182,9 +224,21 @@ object NearDup {
         posting.join(
           broadcast(stopShingles.toSeq.toDF("s")), Seq("s"), "left_anti")
       } else if (maxDocFreq <= 0) posting
-      else posting.join(
-        posting.groupBy(col("s")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s")))
+      else {
+        // the df-count aggregation doubles as the cap OBSERVATION:
+        // a capped run that actually drops shingles is logged (and
+        // surfaced via lastCapDropped) by the listener when the
+        // materializing action completes — a silent cap would be
+        // indistinguishable from an exact full-vocabulary run
+        ensureCapListener(docs.sparkSession)
+        val dfCounts = posting.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+          .observe(CapMetricName,
+            sum(when(col("_df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_shingles"),
+            count(lit(1)).as("distinct_shingles"))
+        posting.join(
+          dfCounts.filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s"))
+      })
     // sizes over the capped postings: the ratio is then the exact
     // jaccard of the retained-vocabulary shingle sets
     val sizes = capped.groupBy(col("doc")).agg(count(lit(1)).as("n"))
@@ -206,10 +260,19 @@ object NearDup {
   /** Hot-shingle (stop-shingle) detection via a Count-Min Sketch — the
     * sketch path for deriving `jaccardNearDups`' cap set at corpus
     * scale: the exact path needs a full (shingle -> doc-frequency)
-    * aggregation (a shuffle of every posting) before any capping can
-    * happen, while the CMS is pure map-side work merged into a few KB
-    * on the driver (one pass, zero shuffle) and is then broadcast as a
-    * plain filter.
+    * aggregation — a shuffle of EVERY posting row — before any capping
+    * can happen, while this path's only shuffle is a key-only distinct
+    * over the (already map-side-combined) 8-byte shingle hashes; the
+    * frequency information itself rides in the CMS (pure map-side
+    * work, tree-merged).
+    *
+    * Derivation: (1) one map-side corpus pass builds the merged CMS;
+    * (2) the sketch is broadcast and the distinct shingle keys are
+    * filtered AGAINST it on the executors — only keys whose estimate
+    * exceeds the cap return to the driver, and that result is tiny by
+    * construction (the hot set). No driver-side data path, no
+    * corpus-ordering assumption: every distinct shingle is probed, so
+    * the superset guarantee is unconditional.
     *
     * CMS guarantees: estimates NEVER undercount (overcount bounded by
     * eps * total postings with probability 1-delta), so the returned
@@ -218,7 +281,9 @@ object NearDup {
     * retiring a borderline shingle early (the safe direction for a
     * stop-shingle list; pinned in DataOpsSpec). Near-dup recall is
     * unaffected for the same reason the exact cap's is: true near-dups
-    * share mostly rare shingles.
+    * share mostly rare shingles. Broadcast size is width*depth*8 B
+    * (~224 MB at the eps=1e-6 default — sized so overcount stays ≪ the
+    * cap even at 10^12 postings; relax eps for smaller corpora).
     *
     * Returns the hot shingle hashes (estimated doc frequency >
     * maxDocFreq) as a Set for broadcast.
@@ -226,23 +291,21 @@ object NearDup {
   def hotShinglesSketch(docs: DataFrame, idCol: String, textCol: String,
                         nShingle: Int = 3, maxDocFreq: Int = 10000,
                         eps: Double = 1e-6, delta: Double = 1e-4): Set[Long] = {
+    import docs.sparkSession.implicits._
     // shingles are per-doc distinct already, so item count == posting
     // count == per-shingle doc frequency
     val posting = docs.select(
       explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
     val cms = posting.stat.countMinSketch(
       "s", eps = eps, confidence = 1 - delta, seed = 42)
-    // candidate hot keys still need enumerating (a CMS answers point
-    // queries, it does not list keys): probe it with a BOUNDED posting
-    // prefix — limit() short-circuits after maxProbe rows with no
-    // shuffle, and a shingle hot enough to matter (df in the tens of
-    // thousands) appears in any non-trivial prefix of a mixed corpus.
-    // The whole derivation is one map-side corpus pass + one bounded
-    // head-read; an adversarially ordered corpus (all boilerplate at
-    // the tail) should use the exact count-filter path instead.
-    val maxProbe = 500000
-    val probes = posting.limit(maxProbe).collect().map(_.getLong(0)).distinct
-    probes.filter(s => cms.estimateCount(s) > maxDocFreq).toSet
+    // a CMS answers point queries but does not list keys: enumerate
+    // candidates as the distinct shingle keys and probe EXECUTOR-side
+    // against the broadcast sketch — only hot keys ever reach the
+    // driver
+    val bc = docs.sparkSession.sparkContext.broadcast(cms)
+    posting.distinct().as[Long]
+      .mapPartitions(_.filter(s => bc.value.estimateCount(s) > maxDocFreq))
+      .collect().toSet
   }
 
   /** Dedup plan from near-dup pairs: keep the smallest id of each

@@ -47,7 +47,6 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     */
   def replacePartitions(df: DataFrame, batchId: Long): Unit = {
     if (committed(batchId)) return // replayed micro-batch: already durable
-    val spark = df.sparkSession
     // per-partition row counts for the manifest (lineage/metrics)
     import org.apache.spark.sql.functions._
     val counts = df.groupBy(partitionCols.map(col): _*)
@@ -60,9 +59,12 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
 
     if (counts.isEmpty) return // empty micro-batch: nothing to commit
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-write option, NOT a session conf set: a session-level
+    // partitionOverwriteMode=dynamic would leak into unrelated
+    // Overwrite writes issued later in the same session
     df.withColumn("_batch_id", lit(batchId))
       .write
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols :+ "_batch_id": _*)
       .parquet(root)
@@ -247,9 +249,10 @@ final class IcebergLikeTable(val root: String, val partitionCols: Seq[String]) {
     // the orphaned files instead of appending the live rows a second
     // time — the same idempotence contract replacePartitions gives
     // micro-batches
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.withColumn("_batch_id", lit(compactionId))
-      .write.mode(SaveMode.Overwrite)
+      .write
+      .option("partitionOverwriteMode", "dynamic") // per-write, no session leak
+      .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols :+ "_batch_id": _*)
       .parquet(root)
     Files.createDirectories(manifestDir)

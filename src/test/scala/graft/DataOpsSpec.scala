@@ -107,6 +107,7 @@ class DataOpsSpec extends AnyFunSuite {
     val uncapped = NearDup.jaccardNearDups(df, "doc_id", "text",
       threshold = 0.6, maxDocFreq = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    NearDup.resetCapDropped() // earlier capped tests also fire the metric
     val capped = NearDup.jaccardNearDups(df, "doc_id", "text",
       threshold = 0.6, maxDocFreq = cap)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -127,6 +128,14 @@ class DataOpsSpec extends AnyFunSuite {
       val want = ra.intersect(rb).size.toDouble / ra.union(rb).size
       assert(math.abs(j - want) < 1e-3, s"capped jaccard ($a,$b)")
     }
+    // the capped run must be OBSERVABLE: the query-execution listener
+    // surfaces how many hot shingles the cap actually dropped
+    // (delivered async on the listener bus — spin briefly)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (NearDup.lastCapDropped <= 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(NearDup.lastCapDropped == hot.size,
+      s"observed dropped=${NearDup.lastCapDropped}, exact hot=${hot.size}")
   }
 
   test("CMS hot-shingle sketch: superset of exact hot set, recall preserved") {

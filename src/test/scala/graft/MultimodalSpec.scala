@@ -203,5 +203,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(gw(0) - (-0.2 / 32768.0)) < 1e-9)
     assert(math.abs(gw(2) - (32768.0 / 32768.0 * 2 - 1)) < 1e-6)
     assert(math.abs(gw(3) - (3.0 / 4 * 2 - 1)) < 1e-6)
+    // REAL video features, hand-checked over the independently-encoded
+    // golden.y4m (4x2, 2 frames): Y values frame0 = 0,50,100,150,200,
+    // 250,10,60 and frame1 = 255x4,0x4 -> n=16, sum=1840 (mean 115),
+    // sum2=401300 (var 11856.25); per-pixel |frame delta| sum = 1240
+    // over 8 pixels (meanDelta 155); luma hist (64-wide bins) =
+    // (8,1,1,6)
+    val gv = Multimodal.features(spark.createDataset(
+      Seq(Multimodal.MediaRow(97L, "video", resource("golden.y4m")))), dim = 8)
+      .as[(Long, String, Array[Float])].collect().head._3
+    assert(math.abs(gv(0) - (115.0 / 127.5 - 1)) < 1e-6)          // Y mean
+    assert(math.abs(gv(1) - (math.sqrt(11856.25) / 127.5 - 1)) < 1e-6) // Y std
+    assert(math.abs(gv(2) - (155.0 / 127.5 - 1)) < 1e-6)          // temporal
+    assert(math.abs(gv(3) - (2.0 / 64 * 2 - 1)) < 1e-6)           // frames
+    assert(math.abs(gv(4) - (8.0 / 16 * 2 - 1)) < 1e-6)
+    assert(math.abs(gv(5) - (1.0 / 16 * 2 - 1)) < 1e-6)
+    assert(math.abs(gv(6) - (1.0 / 16 * 2 - 1)) < 1e-6)
+    assert(math.abs(gv(7) - (6.0 / 16 * 2 - 1)) < 1e-6)
   }
 }
