@@ -544,6 +544,27 @@ object SparkEntry {
         terms = Seq("spark", "window", "merge", "vector"))
         .orderBy(col("doc_id"))
     }),
+    "q56_bm25" -> ((s, dir) => {
+      // cross-engine-exact quantized Okapi BM25 (integer tf-part at
+      // k1=6/5, b=3/4; floored-millinat idf): the oracle face of the
+      // double-precision Relevance.bm25 scorer — only integers are
+      // ever summed, so the score is partitioning- and engine-exact
+      operators.Relevance.bm25Quantized(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "window", "merge", "vector"))
+        .orderBy(col("doc_id"))
+    }),
+    "q57_disease_vocab" -> ((s, _) => {
+      // O3 helper report (reference get_available_diseases_in_civic
+      // .py:29-45): distinct strip().upper() disease names of evidence
+      // records that HAVE a disease (the "NULL" sentinel models
+      // civicpy records whose disease is not a Disease), sorted
+      sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()
+        .select(upper(trim(col("disease"))).as("disease"))
+        .filter(col("disease") =!= "NULL")
+        .distinct()
+        .orderBy(col("disease"))
+    }),
     "q44_pii_redact" -> ((s, dir) => {
       // PII scrub over deterministically-augmented text: the synthetic
       // corpus carries no PII, so both engines plant the same email/
@@ -1140,6 +1161,30 @@ object SparkEntry {
          i AS (SELECT term, (n.n * 1000000) // df AS idf_q FROM d, n)
          SELECT f.doc_id, CAST(sum(f.tf * i.idf_q) AS BIGINT) AS score_q
          FROM f JOIN i USING (term) GROUP BY 1 ORDER BY 1""",
+    "q56_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         f AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'window', 'merge', 'vector')
+           GROUP BY 1, 2),
+         d AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT count(*) AS sdl FROM tok),
+         i AS (SELECT term, CAST(floor(ln(1 + (n.n - df + CAST(0.5 AS DOUBLE))
+             / (df + CAST(0.5 AS DOUBLE))) * 1000) AS BIGINT) AS idf_q
+           FROM d, n)
+         SELECT f.doc_id,
+           CAST(sum(i.idf_q * ((22 * f.tf * s.sdl * 1000000)
+             // (10 * f.tf * s.sdl + 3 * s.sdl + 9 * l.dl * n.n))) AS BIGINT)
+             AS score_q
+         FROM f JOIN i USING (term) JOIN lens l USING (doc_id), n, s
+         GROUP BY 1 ORDER BY 1""",
+    "q57_disease_vocab" ->
+      s"""SELECT DISTINCT upper(trim(disease)) AS disease
+         FROM ${rel("dim_raw")}
+         WHERE upper(trim(disease)) <> 'NULL' ORDER BY 1""",
     "q44_pii_redact" ->
       """WITH a AS (SELECT doc_id,
            text || ' contact user' || CAST(doc_id AS VARCHAR)

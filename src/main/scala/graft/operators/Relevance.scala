@@ -53,6 +53,53 @@ object Relevance {
       .select(col("doc").as(idCol), col("score_q"))
   }
 
+  /** Cross-engine-exact quantized Okapi BM25 at the standard
+    * (k1 = 1.2, b = 0.75): score_q = Σ_t idf_q(t) · tfpart_q(d,t),
+    * all-integer once the two quantizations land, so the score is
+    * bit-identical on any engine and any partitioning (the q43
+    * rounding-law discipline — no double is ever summed).
+    *
+    *  - tf-part: with k1 = 6/5 and b = 3/4 the Okapi ratio
+    *    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) is exactly
+    *    (22·tf·Σdl) / (10·tf·Σdl + 3·Σdl + 9·dl·N) after multiplying
+    *    through by 10·Σdl (avgdl = Σdl/N) — pure integers;
+    *    tfpart_q = that ratio scaled by `scale` under integer `div`.
+    *  - idf_q(t) = floor(ln(1 + (N − df + 0.5)/(df + 0.5)) · 1000):
+    *    the ln argument is exact (IEEE ops over exact integers), and
+    *    the 1e-3 quantization step is ~12 orders of magnitude coarser
+    *    than a possible last-ulp ln() divergence between libm
+    *    implementations, so the floor image is portable.
+    *
+    * Overflow discipline (ANSI mode throws rather than wrapping):
+    * 22·max_tf·Σdl·scale must stay under 2^63 — at web scale pass a
+    * smaller `scale`, exactly as `tfIdfQuantized` documents.
+    * Rankings match double-precision `bm25` up to the quantization
+    * steps (pinned in the spec).
+    */
+  def bm25Quantized(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], scale: Long = 1000000L): DataFrame = {
+    val n = docs.count()
+    if (n == 0)
+      return docs.select(col(idCol), lit(0L).as("score_q")).limit(0)
+    val lens = docs.select(col(idCol).as("doc"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+    val sumDl = lens.agg(sum(col("dl"))).head().getLong(0)
+    val tf = termFreqs(docs, idCol, textCol, terms)
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_q",
+        floor(log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) * 1000)
+          .cast("long"))
+    val tfpartQ = expr(
+      s"(22L * tf * ${sumDl}L * ${scale}L) div " +
+        s"(10L * tf * ${sumDl}L + 3L * ${sumDl}L + 9L * dl * ${n}L)")
+    tf.join(broadcast(idf), Seq("term"))
+      .join(lens, Seq("doc"))
+      .groupBy(col("doc"))
+      .agg(sum(col("idf_q") * tfpartQ).as("score_q"))
+      .select(col("doc").as(idCol), col("score_q"))
+  }
+
   /** Okapi BM25 over the query-term set (double-precision — the
     * engine-facing scorer; cross-engine checks use the quantized
     * variant above because ln() is not bit-portable).

@@ -105,6 +105,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0))
   }
 
+  test("quantized bm25 matches the double scorer up to quantization") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark shuffle join " * 5),
+      (1L, "spark " + "filler words here " * 20),
+      (2L, "spark spark spark"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val dbl = Relevance.bm25(docs, "doc_id", "text", Seq("spark", "shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = Relevance.bm25Quantized(docs, "doc_id", "text",
+        Seq("spark", "shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q.keySet == dbl.keySet)
+    // value agreement: score_q / (1000 * scale) ≈ bm25 within the
+    // quantization steps — per term the idf floor loses up to 1e-3
+    // (times tf-part ≤ k1+1 = 2.2) and the tf-part div up to 1e-6,
+    // so 2 terms bound the gap by ~4.5e-3
+    for ((d, s) <- dbl)
+      assert(math.abs(q(d) / 1e9 - s) < 5e-3, s"doc $d: q=${q(d)} dbl=$s")
+    // ranking agreement on this corpus
+    assert(dbl.toSeq.sortBy(-_._2).map(_._1) == q.toSeq.sortBy(-_._2).map(_._1))
+    // determinism across repartitioning: integer-exact scores
+    val q2 = Relevance.bm25Quantized(docs.repartition(7), "doc_id", "text",
+        Seq("spark", "shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q2 == q)
+  }
+
   // ---------------- repetition signals ----------------
 
   test("native ngram_rep_stats matches the declarative form") {
