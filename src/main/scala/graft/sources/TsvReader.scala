@@ -43,21 +43,28 @@ object TsvReader {
       .option("mode", "FAILFAST")
       .csv(path)
 
-  /** Splittable single-file TSV scan for the huge-file regime (the
-    * documented alternative to the per-file window above): a 100 GB
-    * TSV must be read by MANY tasks, so `n_line` cannot come from a
-    * per-file window (one window task = one file). Instead the file is
-    * read through Hadoop TextInputFormat, whose record key is the
-    * line's BYTE OFFSET — a stable property of the file content,
-    * independent of the split plan — and dense 0-based line numbers
-    * are assigned in two passes:
-    *   1. per-split (minOffset, lineCount) -> driver prefix sums
-    *      (bytes-sized metadata, not data);
-    *   2. per-split base + local index (offsets ascend within a split).
-    * The numbering is therefore identical under ANY split size
-    * (pinned in OperatorsSpec by re-reading with forced tiny splits).
-    * Quoted multi-line fields are not supported — the reference TSV
-    * format has none.
+  /** Splittable TSV scan for the huge-file regime (the documented
+    * alternative to the per-file window above): a 100 GB TSV must be
+    * read by MANY tasks, so `n_line` cannot come from a per-file
+    * window (one window task = one file). Files are read through
+    * Hadoop TextInputFormat, whose record key is the line's BYTE
+    * OFFSET — a stable property of the file content, independent of
+    * the split plan — and dense 0-based PER-FILE line numbers are
+    * assigned in two passes:
+    *   1. per-split (file, minOffset, lineCount) -> driver prefix
+    *      sums keyed by file (bytes-sized metadata, not data; a
+    *      TextInputFormat split never crosses a file boundary);
+    *   2. per-split base + local index (offsets ascend within a
+    *      split).
+    * The numbering is therefore identical under ANY split size AND
+    * any file count (pinned in OperatorsSpec by re-reading with
+    * forced tiny splits and a 3-file directory input). Multi-file
+    * inputs (directory or glob) number each file independently from 0
+    * — the reference's per-file n_line semantics — and carry the
+    * originating file in an `input_file` column; every file's header
+    * must be byte-identical (files with diverging schemas must not be
+    * silently unioned). Quoted multi-line fields are not supported —
+    * the reference TSV format has none.
     *
     * This is the engine's one deliberate RDD use (the "unless forced"
     * case of the no-RDD contract): no DataFrame source exposes the
@@ -71,70 +78,77 @@ object TsvReader {
   def readTsvSplittable(spark: SparkSession, path: String,
                         maxSplitBytes: Long = 0L): DataFrame = {
     import org.apache.hadoop.io.{LongWritable, Text}
-    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     if (maxSplitBytes > 0)
       conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
-    // exactly ONE regular file: byte offsets restart at 0 in every file,
-    // so a directory/glob here would interleave files' split bases and
-    // emit the extra files' header lines as data — refuse loudly (the
-    // per-file reader `readTsv` is the many-files path)
-    locally {
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hPath.getFileSystem(conf)
-      val matches = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
-      require(matches.length == 1 && matches.head.isFile,
-        s"readTsvSplittable requires exactly one regular file, " +
-          s"got ${matches.length} matches for $path")
-    }
+    // each split knows its file: byte offsets restart at 0 in every
+    // file, so the prefix sums below are keyed by (file, split)
     val lines = spark.sparkContext.newAPIHadoopFile(
         path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
-      .mapPartitions(_.map { case (off, text) =>
-        // Hadoop reuses the Writable instances: copy out
-        (off.get(), new String(text.getBytes, 0, text.getLength,
-          java.nio.charset.StandardCharsets.UTF_8))
-      })
-    // pass 1: per-split (minOffset, count) — tiny driver-side metadata —
-    // and the header line (offset 0), captured HERE so the huge file is
-    // read exactly twice, not three times
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit({ (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        it.map { case (off, text) =>
+          // Hadoop reuses the Writable instances: copy out
+          (file, off.get(), new String(text.getBytes, 0, text.getLength,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }, preservesPartitioning = true)
+    // pass 1: per-split (file, minOffset, count) — tiny driver-side
+    // metadata — and the file's header line (offset 0), captured HERE
+    // so the huge files are read exactly twice, not three times
     val stats = lines.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L; var min = Long.MaxValue
+      var file: String = null
       var header: String = null
-      it.foreach { case (off, line) =>
+      it.foreach { case (f, off, line) =>
         n += 1; if (off < min) min = off
+        file = f
         if (off == 0L) header = line
       }
-      Iterator((pid, min, n, Option(header)))
+      Iterator((pid, Option(file), min, n, Option(header)))
     }.collect()
-    val bases: Map[Int, Long] = {
-      var acc = 0L
-      stats.filter(_._3 > 0).sortBy(_._2).map { case (pid, _, n, _) =>
-        val b = pid -> acc; acc += n; b
-      }.toMap
-    }
+    // per-FILE prefix sums: splits of each file sorted by offset,
+    // bases accumulate within the file only (every file restarts at 0)
+    val bases: Map[Int, Long] =
+      stats.filter(_._4 > 0).groupBy(_._2.get).flatMap { case (_, ss) =>
+        var acc = 0L
+        ss.sortBy(_._3).map { case (pid, _, _, n, _) =>
+          val b = pid -> acc; acc += n; b
+        }
+      }
     val bcBases = spark.sparkContext.broadcast(bases)
-    // pass 2: global line number = split base + local ordinal (offsets
-    // ascend within a split, so the local iterator order IS file order)
+    // pass 2: per-file line number = split base + local ordinal
+    // (offsets ascend within a split, so iterator order IS file order)
     val numbered = lines.mapPartitionsWithIndex { (pid, it) =>
       val base = bcBases.value.getOrElse(pid, 0L)
-      it.zipWithIndex.map { case ((_, line), i) => (base + i, line) }
+      it.zipWithIndex.map { case ((file, _, line), i) => (file, base + i, line) }
     }
-    val header = stats.flatMap(_._4)
-    require(header.nonEmpty, s"empty TSV: $path")
-    val names = header.head.split("\t", -1)
+    val headers = stats.flatMap { case (_, f, _, _, h) => h.map(f.get -> _) }
+    val nFiles = stats.flatMap(_._2).distinct.length
+    require(headers.nonEmpty, s"empty TSV: $path")
+    require(headers.length == nFiles,
+      s"$path: ${nFiles - headers.length} file(s) have no header line (empty)")
+    require(headers.map(_._2).distinct.length == 1,
+      s"TSV headers differ across input files: " +
+        headers.map(_._2).distinct.mkString(" vs "))
+    val names = headers.head._2.split("\t", -1)
     val schema = org.apache.spark.sql.types.StructType(
       names.map(n => org.apache.spark.sql.types.StructField(
         n, org.apache.spark.sql.types.StringType)) :+
       org.apache.spark.sql.types.StructField(
-        "n_line", org.apache.spark.sql.types.LongType))
+        "n_line", org.apache.spark.sql.types.LongType) :+
+      org.apache.spark.sql.types.StructField(
+        "input_file", org.apache.spark.sql.types.StringType))
     val width = names.length
-    val rows = numbered.filter(_._1 > 0L).map { case (gid, line) =>
+    val rows = numbered.filter(_._2 > 0L).map { case (file, gid, line) =>
       val parts = line.split("\t", -1)
       require(parts.length == width,
-        s"line ${gid - 1}: ${parts.length} fields, header has $width")
+        s"$file line ${gid - 1}: ${parts.length} fields, header has $width")
       org.apache.spark.sql.Row.fromSeq(
-        parts.toIndexedSeq :+ (gid - 1L)) // 0-based BODY line number
+        parts.toIndexedSeq :+ (gid - 1L) :+ file) // 0-based BODY line number
     }
     spark.createDataFrame(rows, schema)
   }
@@ -169,7 +183,10 @@ object TsvReader {
   private def snvsFrom(numbered: DataFrame,
                        geneName: String, dnaName: String, protName: String,
                        impactName: String, exonName: String): DataFrame = {
-    val cols = numbered.columns.filterNot(_ == "n_line")
+    // n_line and input_file are reader metadata, not data columns —
+    // neither belongs in the extras pass-through
+    val meta = Set("n_line", "input_file")
+    val cols = numbered.columns.filterNot(meta)
     for (c <- Seq(geneName, dnaName, protName))
       require(cols.contains(c), s"Required column '$c' could not be found in header")
     val hasImpact = cols.contains(impactName)
@@ -177,8 +194,7 @@ object TsvReader {
     val extraCols = cols.filterNot(c =>
       c == geneName || c == dnaName || c == protName ||
       (hasImpact && c == impactName) || (hasExon && c == exonName))
-    numbered
-      .select(
+    val baseSel = Seq(
         col(geneName).as("gene"),
         col(dnaName).as("dna"),
         col(protName).as("prot"),
@@ -186,6 +202,9 @@ object TsvReader {
         (if (hasExon) col(exonName) else lit("")).as("exon"),
         col("n_line"),
         array(extraCols.toIndexedSeq.map(col): _*).as("extras"))
+    numbered
+      .select((if (numbered.columns.contains("input_file"))
+        baseSel :+ col("input_file") else baseSel): _*)
       .withColumn("variant_key", concat_ws("|",
         col("dna"), col("prot"), col("impact"), col("exon"), col("n_line")))
       .withColumn("data_type", lit("SNV"))

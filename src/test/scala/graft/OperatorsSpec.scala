@@ -79,6 +79,40 @@ class OperatorsSpec extends AnyFunSuite {
     for (i <- 0 until 400) assert(single(i.toLong) == s"G$i")
   }
 
+  test("splittable TSV reader: multi-file input numbers per file") {
+    val dir = java.nio.file.Files.createTempDirectory("multisplit").toString
+    val sizes = Map("a" -> 150, "b" -> 1, "c" -> 320)
+    for ((name, n) <- sizes) {
+      val body = (0 until n).map(i => s"$name$i\tc.${i}A>G\tp.V${i}E")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name.tsv"),
+        "Gene\tVariant_dna\tVariant_prot\n" + body.mkString("\n") + "\n")
+    }
+    def numbered(maxSplit: Long): Map[(String, Long), String] =
+      TsvReader.readTsvSplittable(spark, dir, maxSplit)
+        .collect().map { r =>
+          val f = r.getAs[String]("input_file")
+          (f.substring(f.lastIndexOf('/') + 1), r.getAs[Long]("n_line")) ->
+            r.getAs[String]("Gene")
+        }.toMap
+    val single = numbered(0L)
+    // every file numbered independently from 0, dense, in file order
+    assert(single.size == sizes.values.sum)
+    for ((name, n) <- sizes; i <- 0 until n)
+      assert(single((s"$name.tsv", i.toLong)) == s"$name$i", s"$name line $i")
+    // split-plan invariance holds across files too
+    assert(numbered(256L) == single,
+      "multi-file numbering changed with the split plan")
+    // S1 reader over the directory: per-file n_line + input_file carried
+    val snv = TsvReader.readSnvsSplittable(spark, dir)
+    assert(snv.columns.contains("input_file"))
+    assert(snv.filter(snv("n_line") === 0L).count() == 3) // one per file
+    // diverging headers must refuse, not silently union
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.tsv"),
+      "Gene\tOther\nG\tx\n")
+    assertThrows[IllegalArgumentException](
+      TsvReader.readTsvSplittable(spark, dir).collect())
+  }
+
   test("S10: multi-annotation cells explode with 1-1 zip and c.-filter") {
     val dir = java.nio.file.Files.createTempDirectory("multi").toString
     val f = s"$dir/multi.tsv"
