@@ -55,9 +55,16 @@ object DimIndex {
     * schema). `dim` should already be evidence-filtered
     * (EvidenceFilter); ct annotation/selection happens here because the
     * support vectors depend on it.
+    *
+    * `withConsensus = false` skips the consensus-count collect — the
+    * over-broadcast-threshold regime, where `DimShuffle
+    * .consensusAnnotate` re-derives `ds_tier_*` with shuffle joins
+    * instead of driver-collected count vectors (the kernel then emits
+    * empty support lists).
     */
   def build(spark: SparkSession, dim: DataFrame, ctCfg: CtConfig,
-            selectCt: Either[String, Seq[String]] = Left("highest")): DimIndex = {
+            selectCt: Either[String, Seq[String]] = Left("highest"),
+            withConsensus: Boolean = true): DimIndex = {
 
     // variant-level records, ordered by first appearance in the scan
     val variantRows = dim
@@ -69,18 +76,21 @@ object DimIndex {
 
     // consensus support vectors per variant (PREDICTIVE only,
     // ct-selected; reference: match.py:1420-1463)
-    val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
-    val clsUdf = udf((d: String, s: String) => Nomenclature.drugSupportClass(d, s))
-    val supportRows = ctSel
-      .filter(col("evidence_type") === "PREDICTIVE")
-      .withColumn("_cls", clsUdf(col("direction"), col("significance")))
-      .groupBy(col("gene_key"), col("var_id"), col("drug"), col("ct"))
-      .agg(
-        count(when(col("_cls") === "POSITIVE", 1)).as("pos"),
-        count(when(col("_cls") === "NEGATIVE", 1)).as("neg"),
-        count(when(col("_cls") === "UNKNOWN_BLANK", 1)).as("unkB"),
-        count(when(col("_cls") === "UNKNOWN_DNS", 1)).as("unkD"))
-      .collect()
+    val supportRows = if (!withConsensus) Array.empty[org.apache.spark.sql.Row]
+    else {
+      val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
+      val clsUdf = udf((d: String, s: String) => Nomenclature.drugSupportClass(d, s))
+      ctSel
+        .filter(col("evidence_type") === "PREDICTIVE")
+        .withColumn("_cls", clsUdf(col("direction"), col("significance")))
+        .groupBy(col("gene_key"), col("var_id"), col("drug"), col("ct"))
+        .agg(
+          count(when(col("_cls") === "POSITIVE", 1)).as("pos"),
+          count(when(col("_cls") === "NEGATIVE", 1)).as("neg"),
+          count(when(col("_cls") === "UNKNOWN_BLANK", 1)).as("unkB"),
+          count(when(col("_cls") === "UNKNOWN_DNS", 1)).as("unkD"))
+        .collect()
+    }
 
     // (gene, var) -> (drug, ct) -> counts
     val supByVar = mutable.HashMap.empty[(String, String), mutable.HashMap[(String, String), Array[Long]]]

@@ -177,15 +177,55 @@ object OutputAssembly {
     }
   }
 
+  /** Flat per-variant render row — the shuffle-join face of
+    * `VarRender` (evStrings flattened to one column per evidence type
+    * for a stable product encoding).
+    */
+  final case class RenderRow(
+      gene_key: String, var_id: String,
+      scores: Seq[String], types_string: String,
+      ev_predictive: Seq[String], ev_diagnostic: Seq[String],
+      ev_prognostic: Seq[String], ev_predisposing: Seq[String])
+
+  /** DISTRIBUTED render table for the over-broadcast-threshold regime:
+    * the same per-variant pure function as `buildRendersLocal`, run
+    * inside `groupByKey((gene, var)).mapGroups` so the dimension is
+    * never collected — one shuffle on the variant key, output bounded
+    * by the variant count. Row-for-row identical to the broadcast
+    * table (DimShuffleSpec pins it).
+    */
+  def buildRendersDist(dim: DataFrame, ctCfg: CtConfig,
+                       selectCt: Either[String, Seq[String]] = Left("highest"),
+                       writeCt: Boolean = false,
+                       writeComplete: Boolean = false): Dataset[RenderRow] = {
+    import dim.sparkSession.implicits._
+    val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
+    ctSel
+      .select(struct(dim.columns.toIndexedSeq.map(col): _*).as("_1"), col("ct").as("_2"))
+      .as[(EvidenceRow, String)]
+      .groupByKey { case (r, _) => (r.gene_key, r.var_id) }
+      .mapGroups { (key: (String, String), it: Iterator[(EvidenceRow, String)]) =>
+        val (gene, varId) = key
+        val vr = buildRendersLocal(it.toSeq, writeCt, writeComplete)((gene, varId))
+        RenderRow(gene, varId, vr.scores, vr.typesString,
+          vr.evStrings.getOrElse("PREDICTIVE", Nil),
+          vr.evStrings.getOrElse("DIAGNOSTIC", Nil),
+          vr.evStrings.getOrElse("PROGNOSTIC", Nil),
+          vr.evStrings.getOrElse("PREDISPOSING", Nil))
+      }
+  }
+
   /** One output row per (annotated turn, non-empty tier) — the
     * denormalized table write_match produces; map-only over the
     * annotation stream with broadcast renders.
     */
+  private val specialCases =
+    Set("NON_SNV_MATCH_ONLY", "NON_CNV_MATCH_ONLY", "NON_EXPR_MATCH_ONLY")
+
   def writeMatchTable(ann: Dataset[Annotation],
                       bc: Broadcast[Map[(String, String), VarRender]],
                       writeSupport: Boolean = true): DataFrame = {
     import ann.sparkSession.implicits._
-    val specialCases = Set("NON_SNV_MATCH_ONLY", "NON_CNV_MATCH_ONLY", "NON_EXPR_MATCH_ONLY")
     ann.mapPartitions { it =>
       val renders = bc.value
       it.flatMap { a =>
@@ -228,5 +268,93 @@ object OutputAssembly {
       "civic_scores", "civic_var_types", "civic_drug_support",
       "civic_predictive", "civic_diagnostic", "civic_prognostic",
       "civic_predisposing")
+  }
+
+  /** Shuffle-regime `writeMatchTable`: fragments come from a join
+    * against the DISTRIBUTED render table instead of a broadcast map —
+    * the path for a dimension too large to collect. Shape:
+    * annotations explode to (turn, tier, position, var_id) rows
+    * (bounded by matched variants per turn), one shuffle join on the
+    * variant key attaches render fragments, and a per-(turn, tier)
+    * sorted re-aggregation stitches them back in matched-list order.
+    * Output rows equal the broadcast path's exactly (DimShuffleSpec).
+    */
+  def writeMatchTableShuffle(ann: Dataset[Annotation],
+                             renders: Dataset[RenderRow],
+                             writeSupport: Boolean = true): DataFrame = {
+    import ann.sparkSession.implicits._
+    // one row per (turn, non-empty tier), carrying the ORDERED
+    // non-special variant list + the tier's drug-support strings
+    val tierRows = ann.flatMap { a =>
+      val tiers = Seq(
+        ("1", a.tier_1, a.ds_tier_1), ("1b", a.tier_1b, a.ds_tier_1b),
+        ("2", a.tier_2, a.ds_tier_2), ("3", a.tier_3, a.ds_tier_3))
+      val main = tiers.collect { case (tier, matched, ds) if matched.nonEmpty =>
+        (a.conv_id, a.turn_idx, a.gene_key, a.data_type, tier, ds,
+          matched.filterNot(v => specialCases.contains(v.toUpperCase)))
+      }
+      val t4 =
+        if (a.tier_4)
+          Seq((a.conv_id, a.turn_idx, a.gene_key, a.data_type, "4",
+            Seq.empty[String], Seq.empty[String]))
+        else Nil
+      main ++ t4
+    }.toDF("conv_id", "turn_idx", "gene_key", "data_type", "tier", "ds", "vars")
+
+    // posexplode_OUTER: a tier whose variants were all special (or a
+    // tier_4 row) must still survive to the output with "." fields
+    val exploded = tierRows
+      .select(col("conv_id"), col("turn_idx"), col("gene_key"),
+        col("data_type"), col("tier"), col("ds"),
+        posexplode_outer(col("vars")).as(Seq("pos", "var_id")))
+    val joined = exploded.join(renders.toDF(), Seq("gene_key", "var_id"),
+      "left_outer")
+    val agg = joined
+      .groupBy(col("conv_id"), col("turn_idx"), col("gene_key"),
+        col("data_type"), col("tier"))
+      .agg(first(col("ds")).as("ds"),
+        sort_array(collect_list(struct(col("pos"), col("scores"),
+          col("types_string"), col("ev_predictive"), col("ev_diagnostic"),
+          col("ev_prognostic"), col("ev_predisposing")))).as("frs"))
+    def flat(field: String) = flatten(filter(
+      transform(col("frs"), x => x.getField(field)), a => a.isNotNull))
+    def dotJoin(c: org.apache.spark.sql.Column) =
+      when(size(c) > 0, array_join(c, ";")).otherwise(".")
+    agg.select(col("conv_id"), col("turn_idx"), col("gene_key"),
+      col("data_type"), col("tier"),
+      dotJoin(flat("scores")).as("civic_scores"),
+      dotJoin(filter(transform(col("frs"), x => x.getField("types_string")),
+        a => a.isNotNull)).as("civic_var_types"),
+      (if (writeSupport) dotJoin(transform(col("ds"), x => upper(x)))
+       else lit(".")).as("civic_drug_support"),
+      dotJoin(flat("ev_predictive")).as("civic_predictive"),
+      dotJoin(flat("ev_diagnostic")).as("civic_diagnostic"),
+      dotJoin(flat("ev_prognostic")).as("civic_prognostic"),
+      dotJoin(flat("ev_predisposing")).as("civic_predisposing"))
+  }
+
+  /** Regime selector, mirroring `VersionedDim`'s split: broadcast
+    * renders while the dimension fits the driver, shuffle-join renders
+    * beyond. The probe is a `limit(threshold+1).count()` — it never
+    * scans past the threshold, so an over-sized dimension costs one
+    * early-out partial scan, not a full count.
+    */
+  def writeMatchTableAuto(ann: Dataset[Annotation], dim: DataFrame,
+                          ctCfg: CtConfig,
+                          selectCt: Either[String, Seq[String]] = Left("highest"),
+                          writeCt: Boolean = false,
+                          writeComplete: Boolean = false,
+                          writeSupport: Boolean = true,
+                          maxBroadcastRows: Long = 500000): DataFrame = {
+    val over =
+      dim.limit((maxBroadcastRows + 1).min(Int.MaxValue).toInt).count() > maxBroadcastRows
+    if (over)
+      writeMatchTableShuffle(ann,
+        buildRendersDist(dim, ctCfg, selectCt, writeCt, writeComplete),
+        writeSupport)
+    else
+      writeMatchTable(ann,
+        buildRenders(dim.sparkSession, dim, ctCfg, selectCt, writeCt, writeComplete),
+        writeSupport)
   }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Synth
+
+/** Broadcast-vs-shuffle regime parity: the over-threshold dimension
+  * paths (shuffle-derived consensus `ds_tier_*`, shuffle-joined output
+  * renders) must reproduce the broadcast kernel's output row-for-row.
+  * The dimension here is over-threshold by FORCING a tiny
+  * `maxBroadcastRows` — the split logic, not the absolute size, is
+  * what's under test.
+  */
+class DimShuffleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // a larger-than-default dimension (120 genes) + enough turns to hit
+  // every tier path, including sentinels and unknown genes
+  private lazy val dim = {
+    val raw = Synth.evidenceDim(spark, 120, Pipeline.DefaultSeed).toDF()
+    EvidenceFilter(raw, Pipeline.defaultFilter)
+  }
+  private lazy val turns = Synth.transcripts(spark,
+    Synth.TurnGenConfig(nConvs = 60, turnsPerConv = 10, nGenes = 120))
+
+  private def annKey(a: Annotation) = (a.conv_id, a.turn_idx)
+
+  test("shuffle consensus reproduces the broadcast kernel's ds_tier_* exactly") {
+    val bcIdx = spark.sparkContext.broadcast(
+      DimIndex.build(spark, dim, Pipeline.defaultCt))
+    val want = MatchKernel.annotate(turns, bcIdx)
+      .collect().map(a => annKey(a) -> a).toMap
+
+    val got = DimShuffle.annotateAuto(spark, turns, dim, Pipeline.defaultCt,
+        maxBroadcastRows = 10) // force the over-threshold regime
+      .collect().map(a => annKey(a) -> a).toMap
+
+    assert(got.keySet == want.keySet)
+    // the index halves (tier lists) are identical by construction;
+    // the consensus halves are what the shuffle path re-derives
+    for ((k, w) <- want) {
+      val g = got(k)
+      assert(g == w, s"annotation mismatch at $k:\n  got  $g\n  want $w")
+    }
+    // sanity: the fixture actually exercises non-empty support lists
+    assert(want.values.exists(_.ds_tier_1.nonEmpty))
+    assert(want.values.exists(_.ds_tier_2.nonEmpty))
+    assert(want.values.exists(a =>
+      a.ds_tier_3.nonEmpty || a.tier_3.exists(_.startsWith("NON_"))))
+  }
+
+  test("under-threshold annotateAuto stays on the broadcast path (same rows)") {
+    val bcIdx = spark.sparkContext.broadcast(
+      DimIndex.build(spark, dim, Pipeline.defaultCt))
+    val want = MatchKernel.annotate(turns, bcIdx)
+      .collect().map(a => annKey(a) -> a).toMap
+    val got = DimShuffle.annotateAuto(spark, turns, dim, Pipeline.defaultCt)
+      .collect().map(a => annKey(a) -> a).toMap
+    assert(got == want)
+  }
+
+  test("distributed render table equals the broadcast render map") {
+    val bcRenders = OutputAssembly.buildRenders(spark, dim, Pipeline.defaultCt)
+    val dist = OutputAssembly.buildRendersDist(dim, Pipeline.defaultCt)
+      .collect().map(r => (r.gene_key, r.var_id) -> r).toMap
+    assert(dist.keySet == bcRenders.value.keySet)
+    for ((k, vr) <- bcRenders.value) {
+      val d = dist(k)
+      assert(d.scores == vr.scores, s"scores at $k")
+      assert(d.types_string == vr.typesString, s"types at $k")
+      assert(d.ev_predictive == vr.evStrings.getOrElse("PREDICTIVE", Nil), s"pred at $k")
+      assert(d.ev_diagnostic == vr.evStrings.getOrElse("DIAGNOSTIC", Nil), s"diag at $k")
+      assert(d.ev_prognostic == vr.evStrings.getOrElse("PROGNOSTIC", Nil), s"prog at $k")
+      assert(d.ev_predisposing == vr.evStrings.getOrElse("PREDISPOSING", Nil), s"predis at $k")
+    }
+  }
+
+  test("shuffle writeMatchTable equals the broadcast table row-for-row") {
+    val bcIdx = spark.sparkContext.broadcast(
+      DimIndex.build(spark, dim, Pipeline.defaultCt))
+    val ann = MatchKernel.annotate(turns, bcIdx)
+    val want = OutputAssembly.writeMatchTable(ann,
+        OutputAssembly.buildRenders(spark, dim, Pipeline.defaultCt))
+      .collect().map(_.toString).sorted.toSeq
+    val got = OutputAssembly.writeMatchTableShuffle(ann,
+        OutputAssembly.buildRendersDist(dim, Pipeline.defaultCt))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // and the auto selector picks the shuffle path over-threshold
+    val auto = OutputAssembly.writeMatchTableAuto(ann, dim,
+        Pipeline.defaultCt, maxBroadcastRows = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == want)
+  }
+}
