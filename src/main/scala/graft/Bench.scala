@@ -4,11 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill files in RAM when the box allows it: the sandbox
+    // /tmp measurably inflates per-stage latency (BENCH.md R4.2) and
+    // drops multi-GB shuffle files under load (R3.1)
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      b.config("spark.local.dir", "/dev/shm/graft-local")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up (codegen, parquet footers, executor threads) so the
     // first measured query doesn't absorb ~3s of one-time costs

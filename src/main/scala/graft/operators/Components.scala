@@ -105,26 +105,40 @@ object Components {
     // leaf; the leaf hands back the internal RDD so superseded rounds'
     // blocks can ACTUALLY be freed (Dataset.unpersist would be a
     // CacheManager no-op here — the checkpoint RDD never registers).
-    def materialize(df: DataFrame): (org.apache.spark.rdd.RDD[_], DataFrame) = {
-      val cp = df.localCheckpoint(true)
+    // LAZY checkpoint + checksum as the materializing action: the
+    // checksum aggregate runs over the checkpoint-marked RDD, so ONE
+    // job both caches the round's blocks and computes the
+    // convergence scalars — an eager checkpoint would spend a
+    // separate job (and a second full pass) per round on the same
+    // rows
+    def materialize(df: DataFrame): (org.apache.spark.rdd.RDD[_], DataFrame, (Long, Long)) = {
+      val cp = df.localCheckpoint(false)
       val rdd = cp.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.headOption.getOrElse(throw new IllegalStateException(
         "localCheckpoint did not produce a LogicalRDD leaf"))
-      (rdd, cp)
+      (rdd, cp, checksum(cp))
     }
-    var (edgesRdd, edges) = materialize(pairs
+    val verbose = sys.env.get("GRAFT_CC_VERBOSE").contains("1")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (verbose) println(f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    var (edgesRdd, edges, chk) = timed("init")(materialize(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
-    var chk = checksum(edges)
+      .distinct()))
+    val useSHJ = sys.env.get("GRAFT_CC_SHJ").contains("1")
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val (nextRdd, next) = materialize(smallStar(largeStar(edges)))
-      val nextChk = checksum(next)
-      edgesRdd.unpersist(false) // safe: `next` is eagerly materialized
+      val (nextRdd, next, nextChk) = timed(s"round$it")(materialize(
+        if (useSHJ) smallStarSHJ(largeStarSHJ(edges))
+        else smallStar(largeStar(edges))))
+      edgesRdd.unpersist(false) // safe: `next` is materialized (checksummed)
       edgesRdd = nextRdd
       edges = next
       converged = nextChk == chk
@@ -146,23 +160,57 @@ object Components {
     members.unionByName(roots)
   }
 
+  /** One alternating round (exposed for plan probing). */
+  private[graft] def oneRound(edges: DataFrame): DataFrame =
+    smallStar(largeStar(edges))
+
+  // A/B-measured alternative (GRAFT_CC_SHJ=1): hash-join round
+  // formulation — no sorts, forced ShuffledHashJoin so the
+  // node-count-sized mins never broadcast. Measured at 16M nodes
+  // (BENCH.md R4.2): better 8->32 RATIO (0.60 vs 0.38) but ~30-100%
+  // WORSE wall time at both core counts — the extra exchanges and
+  // hash builds add parallel work, which flatters the scaling ratio
+  // while losing absolute throughput. The window formulation stays
+  // the default; this stays as the documented control.
+  private[graft] def largeStarSHJ(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      .select(col("u"), least(col("u"), col("_mn")).as("m"))
+    sym.hint("shuffle_hash").join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+  private[graft] def smallStarSHJ(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val relinked = edges.hint("shuffle_hash").join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    relinked.unionByName(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Large-star: every node connects its LARGER neighbors to the
     * minimum of its closed neighborhood. Operates on the symmetric
-    * orientation; one min-aggregation + one node-keyed join.
+    * orientation, as ONE window pass — `min(v) over (partition by u)`
+    * attaches the neighborhood minimum to every row of a single
+    * exchange+sort, where the equivalent aggregate-then-join form
+    * plans a second exchange (or worse: Catalyst broadcasts the
+    * node-count-sized mins relation — 4 per-round broadcasts of ~|V|
+    * rows measured before this formulation, the dominant per-round
+    * latency AND the heap pressure at millions of nodes).
+    *
+    * No dedup and no self-loop filter here — both hold by
+    * construction (m ≤ u < v ⇒ m < v), and duplicates are harmless to
+    * the downstream min-aggregations; small-star's distinct
+    * canonicalizes the round.
     */
   private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy(col("u"))
-      .agg(min(col("v")).as("_mn"))
-      .select(col("u"), least(col("u"), col("_mn")).as("m"))
-    // no dedup and no self-loop filter here — both hold by
-    // construction (m ≤ u < v ⇒ m < v), and duplicates are harmless
-    // to the downstream min-aggregations; small-star's distinct
-    // canonicalizes the round. Skipping the dedup saves one full
-    // shuffle per round — the rounds are latency-bound at moderate
-    // edge counts, so per-round stages are the cost that matters.
-    sym.join(mins, Seq("u"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    sym
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
   }
@@ -170,13 +218,25 @@ object Components {
   /** Small-star: every node connects its SMALLER-or-equal neighbors
     * (and itself) to the minimum among them. Input and output are in
     * the canonical v<u orientation.
+    *
+    * Single window pass + explode, NOT aggregate-join-union: the
+    * union form evaluates its two branches independently, so the
+    * whole upstream round (large-star included) would execute TWICE
+    * per round — Spark has no cross-branch subtree reuse. Here one
+    * windowed relation carries both the per-u minimum (the relink
+    * target) and a row_number that lets exactly one row per u also
+    * emit the (u, m) self edge.
     */
   private[graft] def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val relinked = edges.join(mins, Seq("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-    val self = mins.select(col("u"), col("m").as("v"))
-    relinked.unionByName(self)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val relink = struct(col("v").as("u"), col("m").as("v"))
+    val self = struct(col("u"), col("m").as("v"))
+    edges
+      .withColumn("m", min(col("v")).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .select(explode(when(col("rn") === 1, array(relink, self))
+        .otherwise(array(relink))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }

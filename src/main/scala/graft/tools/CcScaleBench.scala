@@ -23,12 +23,15 @@ object CcScaleBench {
     // self-validation would mismatch on a CORRECT run
     require(nNodes % 128 == 0, s"nNodes must be a multiple of 128, got $nNodes")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      b.config("spark.local.dir", "/dev/shm/graft-local")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up (codegen, thread pools)
