@@ -74,6 +74,59 @@ object StreamingPipeline {
       .as[Annotation]
   }
 
+  /** Broadcast-deref holder for UDF closures: `bc.value` inside a UDF
+    * body would re-read the SoftReference-backed broadcast PER ROW
+    * (the GC-contention pathology MatchKernel.annotate documents); a
+    * transient lazy field derefs once per deserialized closure.
+    */
+  private final class KernelHolder(bc: Broadcast[DimIndex]) extends Serializable {
+    @transient lazy val idx: DimIndex = bc.value
+  }
+
+  /** (a') Dedup-FIRST annotation stream — the byte-frugal operator
+    * order: the watermark and the stateful dedup run on the narrow
+    * `Turn` rows (roughly half the bytes of an `Annotation`), so the
+    * dedup exchange and the state store carry Turn-sized payloads and
+    * the kernel runs on the post-dedup survivors only. The kernel is
+    * applied as an UNTYPED UDF projection that keeps the original
+    * `ts` attribute in the output row — a typed `.map` would strip
+    * the event-time marker, and Spark refuses a new watermark after a
+    * stateful operator, so this projection trick is what lets
+    * downstream windowed aggregates keep working (StreamingSpec pins
+    * a windowed rollup over this stream).
+    *
+    * Trade vs `annotations`: one extra row<->struct conversion per
+    * row (the UDF boundary) against Turn-sized state and shuffle.
+    * Measured on the 25M-turn scale bench (BENCH.md R4.3) the byte
+    * saving wins at both parallelism levels.
+    */
+  def annotationsDedupFirst(turns: Dataset[Turn], bc: Broadcast[DimIndex],
+                            cfg: StreamConfig): Dataset[Annotation] = {
+    import turns.sparkSession.implicits._
+    val holder = new KernelHolder(bc)
+    val annUdf = udf((conv_id: String, turn_idx: Int, role: String,
+                      ts: Timestamp, text: String, tool: String) =>
+      MatchKernel.annotateTurn(
+        Turn(conv_id, turn_idx, role, text, tool, ts), holder.idx))
+    turns
+      .withWatermark("ts", cfg.watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .repartition(cfg.partitions, col("conv_id"))
+      .select(col("ts"), annUdf(col("conv_id"), col("turn_idx"), col("role"),
+        col("ts"), col("text"), col("tool")).as("a"))
+      // project the struct open but keep the ORIGINAL ts attribute —
+      // `a.ts` would be a fresh attribute without the event-time marker
+      .select(col("a.conv_id").as("conv_id"), col("a.turn_idx").as("turn_idx"),
+        col("a.role").as("role"), col("ts"),
+        col("a.gene_key").as("gene_key"), col("a.data_type").as("data_type"),
+        col("a.tier_1").as("tier_1"), col("a.tier_1b").as("tier_1b"),
+        col("a.tier_2").as("tier_2"), col("a.tier_3").as("tier_3"),
+        col("a.tier_4").as("tier_4"), col("a.highest_tier").as("highest_tier"),
+        col("a.ds_tier_1").as("ds_tier_1"), col("a.ds_tier_1b").as("ds_tier_1b"),
+        col("a.ds_tier_2").as("ds_tier_2"), col("a.ds_tier_3").as("ds_tier_3"))
+      .as[Annotation]
+  }
+
   /** (b) Watermark-bounded windowed hash-aggregate: per-window
     * match-tier counts (north rule; reference analog: the per-batch
     * tier counters, Query_CIViCutils.py:449-459).

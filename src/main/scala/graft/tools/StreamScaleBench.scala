@@ -62,7 +62,15 @@ object StreamScaleBench {
           java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
     }
 
-    def measure(cores: Int): (Double, Long, Double, Int) = {
+    /** Per-trigger phase decomposition, from StreamingQueryProgress
+      * .durationMs: `addBatch` is the parallel work (tasks); the rest
+      * (latestOffset listing, queryPlanning, walCommit, commitOffsets)
+      * is DRIVER-SERIAL framework cost that no executor count can
+      * divide — the decomposition that explains the efficiency curve.
+      */
+    final case class Phases(ms: scala.collection.mutable.Map[String, Long])
+
+    def measure(cores: Int): (Double, Long, Double, Int, Map[String, Long]) = {
       val localDir = Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), s"sslocal$cores").toString
       val sp = ScaleBench.session(cores, localDir = Some(localDir))
@@ -80,8 +88,32 @@ object StreamScaleBench {
       if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("rocksdb"))
         sp.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // ad-hoc conf experiments, e.g.
+      // SPARK_GRAFT_STREAM_CONF="spark.sql.streaming.stateStore.compression.codec=none"
+      sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(
+        _.split(";").filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); sp.conf.set(k, v)
+        })
       val rows = new LongAdder
       val batches = new AtomicLong
+      val phases = scala.collection.concurrent.TrieMap.empty[String, Long]
+      sp.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          e.progress.durationMs.forEach { (k, v) =>
+            phases.updateWith(k) { o => Some(o.getOrElse(0L) + v) }; ()
+          }
+          // state-store commit time: the per-partition state commit
+          // inside addBatch (task-side, parallel but barrier-tailed)
+          e.progress.stateOperators.foreach { so =>
+            phases.updateWith("stateCommit") {
+              o => Some(o.getOrElse(0L) + so.commitTimeMs)
+            }
+          }
+        }
+      })
       val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
       // fewer checkpoint files retained: this run produces a handful of
       // batches, and the default 100-batch retention fsyncs needlessly
@@ -89,12 +121,16 @@ object StreamScaleBench {
       val turns = sp.readStream.schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(srcDir).as[Turn]
+      val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "")
       val ann =
-        if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("nodedup"))
+        if (mode.contains("nodedup"))
           turns.mapPartitions { it => // isolate the stateless path
             val idx = bc.value
             it.map(t => graft.operators.MatchKernel.annotateTurn(t, idx))
           }
+        else if (mode.contains("dedupfirst"))
+          StreamingPipeline.annotationsDedupFirst(
+            turns, bc, StreamConfig(partitions = cores))
         else StreamingPipeline.annotations(
           turns, bc, StreamConfig(partitions = cores))
       val t0 = System.nanoTime()
@@ -119,13 +155,19 @@ object StreamScaleBench {
           Files.walk(root).iterator().asScala.toSeq.reverse
             .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => })
       }
-      (wall, rows.sum(), wall / math.max(1, batches.get()), batches.get().toInt)
+      (wall, rows.sum(), wall / math.max(1, batches.get()), batches.get().toInt,
+        phases.toMap)
     }
+
+    def phaseJson(p: Map[String, Long], nBatches: Int): String =
+      p.toSeq.sortBy(-_._2).map { case (k, v) =>
+        s""""$k":${v / math.max(1, nBatches)}"""
+      }.mkString("{", ",", "}")
 
     // warm-up JIT at 32, then measure interleaved
     measure(32)
-    val (w8, r8, lat8, b8) = measure(8)
-    val (w32, r32, lat32, b32) = measure(32)
+    val (w8, r8, lat8, b8, p8) = measure(8)
+    val (w32, r32, lat32, b32, p32) = measure(32)
     require(r8 == r32, s"row mismatch: $r8 vs $r32")
     val thr8 = r8 / w8; val thr32 = r32 / w32
     val eff = (thr32 / thr8) / 4.0
@@ -133,6 +175,8 @@ object StreamScaleBench {
       f"""{"rows":$r8,"batches":$b8,"local8_sec":$w8%.2f,"local32_sec":$w32%.2f,""" +
       f""""local8_turns_per_sec":$thr8%.0f,"local32_turns_per_sec":$thr32%.0f,""" +
       f""""local8_batch_latency_sec":$lat8%.2f,"local32_batch_latency_sec":$lat32%.2f,""" +
-      f""""scaling_efficiency":$eff%.3f}""")
+      f""""scaling_efficiency":$eff%.3f,""" +
+      s""""phase_ms_per_batch_local8":${phaseJson(p8, b8)},""" +
+      s""""phase_ms_per_batch_local32":${phaseJson(p32, b32)}}""")
   }
 }

@@ -57,6 +57,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("dedup-first annotations: same rows as annotations, watermark survives") {
+    import spark.implicits._
+    val turnCfg = Synth.TurnGenConfig(nConvs = 12, turnsPerConv = 8,
+      nGenes = 12, dupRate = 0.2)
+    val rows = Synth.transcriptRows(turnCfg)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val ann = StreamingPipeline.annotationsDedupFirst(mem.toDS(), bc, cfg)
+    // a windowed streaming aggregate DOWNSTREAM of the UDF projection:
+    // this would fail analysis ("Append output mode not supported ...
+    // without watermark") if the kernel projection stripped the
+    // event-time marker — starting the query IS the assertion
+    val roll = StreamingPipeline.tierRollup(ann, cfg)
+      .writeStream.format("memory").queryName("ddf_roll")
+      .outputMode(OutputMode.Append).start()
+    val q = StreamingPipeline.annotationsDedupFirst(mem.toDS(), bc, cfg)
+      .writeStream.format("memory").queryName("ddf_ann")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows.take(rows.size / 2))
+    q.processAllAvailable(); roll.processAllAvailable()
+    mem.addData(rows.drop(rows.size / 2))
+    q.processAllAvailable(); roll.processAllAvailable()
+    q.stop(); roll.stop()
+
+    val got = spark.table("ddf_ann")
+      .collect().map(_.toString).sorted
+    // parity oracle: the annotate-first stream on the same input
+    val mem2 = MemoryStream[Turn]
+    val q2 = StreamingPipeline.annotations(mem2.toDS(), bc, cfg)
+      .writeStream.format("memory").queryName("ddf_want")
+      .outputMode(OutputMode.Append).start()
+    mem2.addData(rows.take(rows.size / 2))
+    q2.processAllAvailable()
+    mem2.addData(rows.drop(rows.size / 2))
+    q2.processAllAvailable()
+    q2.stop()
+    val want = spark.table("ddf_want").collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming near-dup pairs == batch simhash pairs (bounded state)") {
     import spark.implicits._
     import StreamingPipeline.DocEvent
