@@ -783,6 +783,38 @@ object SparkEntry {
       operators.CohortStats.perConversation(Pipeline.run(s))
         .orderBy(col("conv_id"))
     }),
+    "q58_output_shuffle" -> ((s, _) => {
+      import s.implicits._
+      // SHUFFLE-regime writeMatchTable: renders joined on the variant
+      // key instead of broadcast — must equal q23's output
+      // row-for-row, so it shares q23's oracle SQL
+      operators.OutputAssembly.writeMatchTableShuffle(
+        Pipeline.run(s).as[operators.Annotation],
+        operators.OutputAssembly.buildRendersDist(
+          defaultFilteredDim(s), Pipeline.defaultCt))
+        .orderBy(col("conv_id"), col("turn_idx"), col("tier"))
+    }),
+    "q59_ann_shuffle" -> ((s, _) => {
+      // SHUFFLE-regime consensus: the index is built WITHOUT the
+      // driver-collected count vectors (forced over-threshold) and
+      // ds_tier_* is re-derived by DimShuffle's shuffle joins — must
+      // equal q21's broadcast-kernel output, so it shares q21's oracle
+      val turns = sources.Synth.transcripts(s,
+        sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+          nGenes = Pipeline.DefaultGenes))
+      operators.DimShuffle.annotateAuto(s, turns, defaultFilteredDim(s),
+          Pipeline.defaultCt, maxBroadcastRows = 10)
+        .toDF()
+        .select(col("conv_id"), col("turn_idx"), col("gene_key"),
+          col("data_type"), col("highest_tier"),
+          concat_ws(";", col("tier_1")).as("tier_1"),
+          concat_ws(";", col("tier_1b")).as("tier_1b"),
+          concat_ws(";", col("tier_2")).as("tier_2"),
+          concat_ws(";", col("tier_3")).as("tier_3"),
+          col("tier_4"),
+          concat_ws(";", col("ds_tier_1")).as("ds_tier_1"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
     "q21_annotations" -> ((s, _) => {
       Pipeline.run(s)
         .select(col("conv_id"), col("turn_idx"), col("gene_key"),
@@ -796,7 +828,14 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"))
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // shuffle-regime paths must equal the broadcast paths row-for-row,
+    // so they share the broadcast queries' oracle SQL (the same
+    // cross-path discipline as q39 = q15's SQL in batch mode)
+    "q58_output_shuffle" -> oracleSqlBase("q23_output_table"),
+    "q59_ann_shuffle" -> oracleSqlBase("q21_annotations"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
