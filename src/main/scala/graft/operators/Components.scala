@@ -65,7 +65,20 @@ object Components {
     finalRoundRdds.add(rdd)
     while (finalRoundRdds.size > MaxTracked) {
       val old = finalRoundRdds.poll()
-      if (old != null) old.unpersist(false)
+      if (old != null) {
+        // EXPLICIT failure mode: a checkpoint RDD does not recompute,
+        // so if the evicted run's result was never consumed, acting on
+        // it later fails with "Checkpoint block not found". Holding
+        // >MaxTracked unconsumed CC results is outside the registry's
+        // contract (consume or releaseAll() between runs) — log loudly
+        // so the eventual error is attributable
+        org.apache.log4j.Logger.getLogger(Components.getClass).warn(
+          s"evicting final-round CC checkpoint RDD ${old.id}: more than " +
+            s"$MaxTracked unconsumed connectedComponents results are live; " +
+            "actions on the evicted result will fail (blocks freed, " +
+            "lineage truncated)")
+        old.unpersist(false)
+      }
     }
   }
 

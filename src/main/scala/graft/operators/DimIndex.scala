@@ -75,22 +75,12 @@ object DimIndex {
       .collect()
 
     // consensus support vectors per variant (PREDICTIVE only,
-    // ct-selected; reference: match.py:1420-1463)
+    // ct-selected; reference: match.py:1420-1463). ONE definition of
+    // the aggregation feeds both regimes: this is the collected form
+    // of DimShuffle.supportTable, so broadcast-vs-shuffle parity
+    // (q59/DimShuffleSpec) cannot drift between two copies.
     val supportRows = if (!withConsensus) Array.empty[org.apache.spark.sql.Row]
-    else {
-      val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
-      val clsUdf = udf((d: String, s: String) => Nomenclature.drugSupportClass(d, s))
-      ctSel
-        .filter(col("evidence_type") === "PREDICTIVE")
-        .withColumn("_cls", clsUdf(col("direction"), col("significance")))
-        .groupBy(col("gene_key"), col("var_id"), col("drug"), col("ct"))
-        .agg(
-          count(when(col("_cls") === "POSITIVE", 1)).as("pos"),
-          count(when(col("_cls") === "NEGATIVE", 1)).as("neg"),
-          count(when(col("_cls") === "UNKNOWN_BLANK", 1)).as("unkB"),
-          count(when(col("_cls") === "UNKNOWN_DNS", 1)).as("unkD"))
-        .collect()
-    }
+    else DimShuffle.supportTable(dim, ctCfg, selectCt).collect()
 
     // (gene, var) -> (drug, ct) -> counts
     val supByVar = mutable.HashMap.empty[(String, String), mutable.HashMap[(String, String), Array[Long]]]

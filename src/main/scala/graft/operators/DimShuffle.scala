@@ -34,6 +34,14 @@ import graft.functions.Nomenclature
   */
 object DimShuffle {
 
+  /** Shared regime probe (used by `annotateAuto` AND `OutputAssembly
+    * .writeMatchTableAuto`, so the two selectors can never disagree
+    * about which regime a dimension is in): a `limit(n+1).count()`
+    * early-out — never scans past the threshold.
+    */
+  def overBroadcastThreshold(dim: DataFrame, maxRows: Long): Boolean =
+    dim.limit((maxRows + 1).min(Int.MaxValue).toInt).count() > maxRows
+
   /** Regime-split annotation, mirroring `VersionedDim`: while the
     * dimension fits the driver (`maxBroadcastRows`), the kernel runs
     * with broadcast consensus vectors; beyond it, the index is built
@@ -49,8 +57,7 @@ object DimShuffle {
                    ctCfg: CtConfig,
                    selectCt: Either[String, Seq[String]] = Left("highest"),
                    maxBroadcastRows: Long = 500000): Dataset[Annotation] = {
-    val over =
-      dim.limit((maxBroadcastRows + 1).min(Int.MaxValue).toInt).count() > maxBroadcastRows
+    val over = overBroadcastThreshold(dim, maxBroadcastRows)
     if (!over) {
       val idx = DimIndex.build(spark, dim, ctCfg, selectCt)
       MatchKernel.annotate(turns, spark.sparkContext.broadcast(idx))
@@ -81,8 +88,7 @@ object DimShuffle {
         count(when(col("_cls") === "UNKNOWN_DNS", 1)).as("unk_d"))
   }
 
-  private val Sentinels =
-    Set("NON_SNV_MATCH_ONLY", "NON_CNV_MATCH_ONLY", "NON_EXPR_MATCH_ONLY")
+  private val Sentinels = MatchKernel.TierSentinels
 
   /** Recompute every annotation's `ds_tier_*` lists from the
     * distributed `supportTable` (annotations typically produced by a

@@ -65,6 +65,15 @@ final case class Annotation(
 
 object MatchKernel {
 
+  /** Tier-3 sentinel ids the kernel emits when a data type has no
+    * fallback records (`NON_<dt>_MATCH_ONLY`, match.py:219-310 path).
+    * NOT real variant ids: consensus and output-assembly paths must
+    * skip them — this is THE shared definition, so the kernel and its
+    * consumers cannot drift.
+    */
+  val TierSentinels: Set[String] =
+    Set("SNV", "CNV", "EXPR").map(dt => s"NON_${dt}_MATCH_ONLY")
+
   /** Parsed payload of one turn. role -> data type dispatch is the
     * transcript analog of the reference's SNV/CNV/EXPR input files
     * (SURVEY.md §1.4; utils.py:71-87).

@@ -55,12 +55,19 @@ object NearDup {
     * materializing action finishes.
     */
   @volatile private var lastCapDroppedVar: Long = -1L
+  // diagnostic only: concurrent capped queries race on this single
+  // slot (last completion wins) — it exists for logs and tests, not
+  // for program logic
   def lastCapDropped: Long = lastCapDroppedVar
   private[graft] def resetCapDropped(): Unit = lastCapDroppedVar = -1L
 
   private val CapMetricName = "graft_jaccard_cap"
+  // weakly-referenced: a stopped-and-dropped SparkSession must not be
+  // pinned in memory by this registry for the life of the JVM
   private val capListenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   /** Register (once per session) the listener that surfaces the
     * observed cap metric: a capped run that actually dropped shingles

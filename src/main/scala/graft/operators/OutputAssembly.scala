@@ -219,8 +219,7 @@ object OutputAssembly {
     * denormalized table write_match produces; map-only over the
     * annotation stream with broadcast renders.
     */
-  private val specialCases =
-    Set("NON_SNV_MATCH_ONLY", "NON_CNV_MATCH_ONLY", "NON_EXPR_MATCH_ONLY")
+  private val specialCases = MatchKernel.TierSentinels
 
   def writeMatchTable(ann: Dataset[Annotation],
                       bc: Broadcast[Map[(String, String), VarRender]],
@@ -335,9 +334,9 @@ object OutputAssembly {
 
   /** Regime selector, mirroring `VersionedDim`'s split: broadcast
     * renders while the dimension fits the driver, shuffle-join renders
-    * beyond. The probe is a `limit(threshold+1).count()` — it never
-    * scans past the threshold, so an over-sized dimension costs one
-    * early-out partial scan, not a full count.
+    * beyond. The probe is `DimShuffle.overBroadcastThreshold` — shared
+    * with `annotateAuto`, so the annotation and output-assembly paths
+    * always agree on the regime.
     */
   def writeMatchTableAuto(ann: Dataset[Annotation], dim: DataFrame,
                           ctCfg: CtConfig,
@@ -346,8 +345,7 @@ object OutputAssembly {
                           writeComplete: Boolean = false,
                           writeSupport: Boolean = true,
                           maxBroadcastRows: Long = 500000): DataFrame = {
-    val over =
-      dim.limit((maxBroadcastRows + 1).min(Int.MaxValue).toInt).count() > maxBroadcastRows
+    val over = DimShuffle.overBroadcastThreshold(dim, maxBroadcastRows)
     if (over)
       writeMatchTableShuffle(ann,
         buildRendersDist(dim, ctCfg, selectCt, writeCt, writeComplete),

@@ -62,14 +62,14 @@ object StreamScaleBench {
           java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
     }
 
-    /** Per-trigger phase decomposition, from StreamingQueryProgress
-      * .durationMs: `addBatch` is the parallel work (tasks); the rest
-      * (latestOffset listing, queryPlanning, walCommit, commitOffsets)
-      * is DRIVER-SERIAL framework cost that no executor count can
-      * divide — the decomposition that explains the efficiency curve.
-      */
-    final case class Phases(ms: scala.collection.mutable.Map[String, Long])
-
+    // Per-trigger phase decomposition, from StreamingQueryProgress
+    // .durationMs: `addBatch` is the parallel work (tasks); the rest
+    // (latestOffset listing, queryPlanning, walCommit, commitOffsets)
+    // is DRIVER-SERIAL framework cost that no executor count can
+    // divide — the decomposition that explains the efficiency curve.
+    // Harvested SYNCHRONOUSLY from q.recentProgress after termination
+    // (an async listener races the bus shutdown and can drop the final
+    // batch's durations).
     def measure(cores: Int): (Double, Long, Double, Int, Map[String, Long]) = {
       val localDir = Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), s"sslocal$cores").toString
@@ -96,24 +96,6 @@ object StreamScaleBench {
         })
       val rows = new LongAdder
       val batches = new AtomicLong
-      val phases = scala.collection.concurrent.TrieMap.empty[String, Long]
-      sp.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          e.progress.durationMs.forEach { (k, v) =>
-            phases.updateWith(k) { o => Some(o.getOrElse(0L) + v) }; ()
-          }
-          // state-store commit time: the per-partition state commit
-          // inside addBatch (task-side, parallel but barrier-tailed)
-          e.progress.stateOperators.foreach { so =>
-            phases.updateWith("stateCommit") {
-              o => Some(o.getOrElse(0L) + so.commitTimeMs)
-            }
-          }
-        }
-      })
       val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
       // fewer checkpoint files retained: this run produces a handful of
       // batches, and the default 100-batch retention fsyncs needlessly
@@ -144,6 +126,20 @@ object StreamScaleBench {
         .start()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
+      val phases = scala.collection.mutable.Map.empty[String, Long]
+      q.recentProgress.foreach { p =>
+        p.durationMs.forEach { (k, v) =>
+          phases.updateWith(k) { o => Some(o.getOrElse(0L) + v) }; ()
+        }
+        // state-store commit time: the per-partition state commit
+        // inside addBatch (task-side, parallel but barrier-tailed),
+        // summed across partitions
+        p.stateOperators.foreach { so =>
+          phases.updateWith("stateCommit") {
+            o => Some(o.getOrElse(0L) + so.commitTimeMs)
+          }
+        }
+      }
       sp.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
