@@ -99,6 +99,12 @@ object StreamingPipeline {
     * row (the UDF boundary) against Turn-sized state and shuffle.
     * Measured on the 25M-turn scale bench (BENCH.md R4.3) the byte
     * saving wins at both parallelism levels.
+    *
+    * Checkpoint compatibility: the dedup state KEY schema differs from
+    * `annotations`' (turn_idx nullability flips across the kernel
+    * boundary), so switching orders on an EXISTING checkpoint fails
+    * Spark's state-schema check by design — resume with the order the
+    * checkpoint was created with, or start a fresh checkpoint.
     */
   def annotationsDedupFirst(turns: Dataset[Turn], bc: Broadcast[DimIndex],
                             cfg: StreamConfig): Dataset[Annotation] = {

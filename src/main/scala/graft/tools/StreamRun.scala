@@ -49,7 +49,8 @@ object StreamRun {
 
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val turns = spark.readStream.schema(schema).parquet(srcDir).as[Turn]
-    val ann = StreamingPipeline.annotations(turns, bc, cfg)
+    // dedup-first is the measured-faster operator order (BENCH.md R4.3)
+    val ann = StreamingPipeline.annotationsDedupFirst(turns, bc, cfg)
 
     val table = new IcebergLikeTable(s"$outRoot/annotations",
       Seq("data_type", "conv_bucket"))
