@@ -554,6 +554,13 @@ object SparkEntry {
         terms = Seq("spark", "window", "merge", "vector"))
         .orderBy(col("doc_id"))
     }),
+    "q60_lm_score" -> ((s, dir) => {
+      // CCNet-style unigram-LM perplexity filter: quantized per-doc
+      // negative log-likelihood + head/middle/tail quartile buckets
+      operators.Relevance.lmScoreQuantized(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q57_disease_vocab" -> ((s, _) => {
       // O3 helper report (reference get_available_diseases_in_civic
       // .py:29-45): distinct strip().upper() disease names of evidence
@@ -1220,6 +1227,29 @@ object SparkEntry {
              AS score_q
          FROM f JOIN i USING (term) JOIN lens l USING (doc_id), n, s
          GROUP BY 1 ORDER BY 1""",
+    "q60_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tot AS (SELECT count(*) AS n FROM tok),
+         c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         nll AS (SELECT term,
+             CAST(floor(-ln(CAST(cnt AS DOUBLE) / tot.n) * 1000) AS BIGINT)
+               AS nll_q
+           FROM c, tot),
+         f AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         sc AS (SELECT f.doc_id,
+             CAST(sum(f.tf) AS BIGINT) AS n_tok,
+             CAST(sum(f.tf * nll.nll_q) AS BIGINT) AS score_q
+           FROM f JOIN nll USING (term) GROUP BY 1),
+         sc2 AS (SELECT *, score_q // n_tok AS mean_nll_q FROM sc),
+         th AS (SELECT quantile_cont(mean_nll_q, 0.25) AS q1,
+             quantile_cont(mean_nll_q, 0.75) AS q3 FROM sc2)
+         SELECT doc_id, n_tok, score_q, mean_nll_q,
+           CASE WHEN mean_nll_q <= th.q1 THEN 'head'
+                WHEN mean_nll_q > th.q3 THEN 'tail'
+                ELSE 'middle' END AS bucket
+         FROM sc2, th ORDER BY doc_id""",
     "q57_disease_vocab" ->
       s"""SELECT DISTINCT upper(trim(disease)) AS disease
          FROM ${rel("dim_raw")}

@@ -100,6 +100,56 @@ object Relevance {
       .select(col("doc").as(idCol), col("score_q"))
   }
 
+  /** CCNet-style unigram-LM quality scoring: train a unigram LM on
+    * the corpus itself, score every document by its total and mean
+    * quantized negative log-likelihood, and bucket into
+    * head/middle/tail by the corpus quartiles of the mean — the
+    * classic perplexity-filter shape (Wenzek et al., "CCNet", LREC
+    * 2020) with the corpus standing in for the clean LM corpus.
+    *
+    * Cross-engine exactness (the q43/q56 discipline): per token TYPE,
+    * nll_q(t) = floor(-ln(count(t)/total) · 1000) — the ln argument
+    * is an exact IEEE quotient of exact integers and the 1e-3 floor
+    * grid is ~12 orders coarser than any libm last-ulp divergence —
+    * then ONLY integers are summed: score_q(d) = Σ_t tf·nll_q(t),
+    * mean_nll_q = score_q div n_tok. Quartile thresholds interpolate
+    * at exactly-representable 0.25/0.75 positions over integers
+    * (the q46 exact-median argument), so the head/middle/tail split
+    * is bit-identical on any engine and partitioning.
+    *
+    * Scale shape: one explode pass; the LM is a (token -> count)
+    * aggregation joined back on the token key (AQE broadcasts it when
+    * the vocabulary is small); the two quartile scalars are the only
+    * driver values. Overflow: score_q ≤ n_tok · 1000·ln(total) —
+    * at 10^12 tokens that is n_tok · 27 631, nowhere near 2^63.
+    */
+  def lmScoreQuantized(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val total = tok.count()
+    val nll = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("nll_q",
+        floor(-log(col("cnt").cast("double") / total) * 1000).cast("long"))
+      .select(col("term"), col("nll_q"))
+    val scored = tok.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(nll, Seq("term"))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf") * col("nll_q")).as("score_q"),
+        sum(col("tf")).as("n_tok"))
+      .withColumn("mean_nll_q", expr("score_q div n_tok"))
+    val th = scored.agg(
+      percentile(col("mean_nll_q"), lit(0.25)).as("q1"),
+      percentile(col("mean_nll_q"), lit(0.75)).as("q3")).head()
+    val (q1, q3) = (th.getDouble(0), th.getDouble(1))
+    scored.select(col("doc").as(idCol), col("n_tok"), col("score_q"),
+      col("mean_nll_q"),
+      when(col("mean_nll_q") <= q1, "head")
+        .when(col("mean_nll_q") > q3, "tail")
+        .otherwise("middle").as("bucket"))
+  }
+
   /** Okapi BM25 over the query-term set (double-precision — the
     * engine-facing scorer; cross-engine checks use the quantized
     * variant above because ln() is not bit-portable).

@@ -133,6 +133,37 @@ class CurationSpec extends AnyFunSuite {
     assert(q2 == q)
   }
 
+  test("unigram LM score: exact on a hand corpus, fluent docs bucket head") {
+    import spark.implicits._
+    // 4 docs, 12 tokens total: counts a=4, b=3, c=2, d=1, e=1, f=1
+    val docs = Seq(
+      (0L, "a a a b"),      // most-common tokens -> lowest nll
+      (1L, "a b b c"),
+      (2L, "c d e"),        // rare tokens -> highest nll
+      (3L, "f")).toDF("doc_id", "text")
+    val got = Relevance.lmScoreQuantized(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def nll(cnt: Int): Long = math.floor(-math.log(cnt / 12.0) * 1000).toLong
+    val want = Map(
+      0L -> (3 * nll(4) + nll(3)),
+      1L -> (nll(4) + 2 * nll(3) + nll(2)),
+      2L -> (nll(2) + nll(1) + nll(1)),
+      3L -> nll(1))
+    for ((d, (nTok, score, mean, _)) <- got) {
+      assert(score == want(d), s"doc $d score")
+      assert(mean == want(d) / nTok, s"doc $d mean")
+    }
+    // quartile bucketing: the fluent doc is head, the rare-token docs tail
+    assert(got(0L)._4 == "head")
+    assert(got(3L)._4 == "tail")
+    // determinism across repartitioning (integer-exact everywhere)
+    val again = Relevance.lmScoreQuantized(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(again == got)
+  }
+
   // ---------------- repetition signals ----------------
 
   test("native ngram_rep_stats matches the declarative form") {
