@@ -554,6 +554,17 @@ object SparkEntry {
         terms = Seq("spark", "window", "merge", "vector"))
         .orderBy(col("doc_id"))
     }),
+    "q61_incremental_dedup" -> ((s, dir) => {
+      // incremental dedup: the newest 20% of the corpus checked
+      // against the base 80% — base-vs-base pairs intentionally NOT
+      // re-derived (they were resolved when the base was built)
+      val docs = t(s, dir, "documents")
+      val cut = 400L * (docs.count() / 500L).max(1L)
+      operators.NearDup.jaccardNearDupsAgainst(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q60_lm_score" -> ((s, dir) => {
       // CCNet-style unigram-LM perplexity filter: quantized per-doc
       // negative log-likelihood + head/middle/tail quartile buckets
@@ -1227,6 +1238,24 @@ object SparkEntry {
              AS score_q
          FROM f JOIN i USING (term) JOIN lens l USING (doc_id), n, s
          GROUP BY 1 ORDER BY 1""",
+    "q61_incremental_dedup" ->
+      s"""WITH cut AS (SELECT 400 * greatest(count(*) // 500, 1) AS c
+           FROM documents),
+         tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < (SELECT c FROM cut)
+             AND b.doc_id >= (SELECT c FROM cut))
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE jaccard >= 0.5 ORDER BY 1, 2""",
     "q60_lm_score" ->
       """WITH tok AS (SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

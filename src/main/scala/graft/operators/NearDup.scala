@@ -264,6 +264,58 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL dedup: exact n-gram Jaccard pairs BETWEEN an existing
+    * base corpus and a new increment — the production dedup shape for
+    * a growing corpus: base-vs-base pairs were already resolved when
+    * the base was built, so a new crawl batch only needs checking
+    * against the base (and within itself, via `jaccardNearDups` on the
+    * increment alone). Same inverted-index join and stop-shingle cap
+    * discipline as `jaccardNearDups`; the doc-frequency cap counts
+    * over the UNION of both sides (a shingle hot across the whole
+    * corpus is hot, whichever side it lives on), and per-doc sizes are
+    * counted over the same capped postings, so the ratio is the exact
+    * Jaccard of the retained vocabulary.
+    *
+    * Returns (doc_a from base, doc_b from increment, jaccard >=
+    * threshold). Ids may overlap across sides (they are different
+    * tables); a self-pair (same id both sides) is NOT filtered —
+    * callers dedupping an increment against a base that already
+    * contains it should key on content, not ids.
+    */
+  def jaccardNearDupsAgainst(base: DataFrame, increment: DataFrame,
+                             idCol: String, textCol: String,
+                             nShingle: Int = 3, threshold: Double = 0.5,
+                             maxDocFreq: Int = 10000): DataFrame = {
+    def posting(df: DataFrame) = df.select(col(idCol).as("doc"),
+      explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
+    val pa = posting(base)
+    val pb = posting(increment)
+    val capped: DataFrame => DataFrame =
+      if (maxDocFreq <= 0) identity
+      else {
+        val ok = pa.unionByName(pb).groupBy(col("s"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq).select(col("s"))
+        p => p.join(ok, Seq("s"))
+      }
+    val ca = persistTracked(capped(pa))
+    val cb = persistTracked(capped(pb))
+    val sizesA = ca.groupBy(col("doc")).agg(count(lit(1)).as("n_a"))
+      .withColumnRenamed("doc", "doc_a")
+    val sizesB = cb.groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed("doc", "doc_b")
+    ca.alias("a").join(cb.alias("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizesA, Seq("doc_a"))
+      .join(sizesB, Seq("doc_b"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Hot-shingle (stop-shingle) detection via a Count-Min Sketch — the
     * sketch path for deriving `jaccardNearDups`' cap set at corpus
     * scale: the exact path needs a full (shingle -> doc-frequency)

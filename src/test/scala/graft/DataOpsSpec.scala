@@ -138,6 +138,30 @@ class DataOpsSpec extends AnyFunSuite {
       s"observed dropped=${NearDup.lastCapDropped}, exact hot=${hot.size}")
   }
 
+  test("incremental dedup: cross-side pairs equal the full run's cross subset") {
+    val df = docsDf(corpus)
+    val cut = 10L
+    val base = df.filter(col("doc_id") < cut)
+    val inc = df.filter(col("doc_id") >= cut)
+    val got = NearDup.jaccardNearDupsAgainst(base, inc, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // oracle: the full-corpus exact run restricted to cross pairs
+    val full = NearDup.jaccardNearDups(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((a, b), _) => a < cut && b >= cut }.toMap
+    assert(got == full, s"missing=${full.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- full.keySet}")
+    assert(got.nonEmpty, "fixture has no cross-side near-dups")
+    // same-side pairs exist in the full run and are correctly absent
+    // from the incremental result
+    val sameSide = NearDup.jaccardNearDups(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot { case (a, b) => a < cut && b >= cut }
+    assert(sameSide.nonEmpty, "fixture has no same-side near-dups")
+    assert(sameSide.forall(p => !got.contains(p)))
+  }
+
   test("CMS hot-shingle sketch: superset of exact hot set, recall preserved") {
     val df = docsDf(corpus)
     val cap = 3
