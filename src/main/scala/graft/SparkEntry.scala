@@ -554,6 +554,14 @@ object SparkEntry {
         terms = Seq("spark", "window", "merge", "vector"))
         .orderBy(col("doc_id"))
     }),
+    "q62_exact_sample" -> ((s, dir) => {
+      // eval-set carving: exactly 40 docs per language, deterministic
+      // under any partitioning (md5 rank, key tiebreak)
+      operators.Sampling.sampleExactPerStratum(
+        t(s, dir, "documents"), "doc_id", "lang", n = 40, salt = "s42")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q61_incremental_dedup" -> ((s, dir) => {
       // incremental dedup: the newest 20% of the corpus checked
       // against the base 80% — base-vs-base pairs intentionally NOT
@@ -1238,6 +1246,12 @@ object SparkEntry {
              AS score_q
          FROM f JOIN i USING (term) JOIN lens l USING (doc_id), n, s
          GROUP BY 1 ORDER BY 1""",
+    "q62_exact_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 40 ORDER BY doc_id""",
     "q61_incremental_dedup" ->
       s"""WITH cut AS (SELECT 400 * greatest(count(*) // 500, 1) AS c
            FROM documents),

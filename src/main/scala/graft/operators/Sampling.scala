@@ -47,6 +47,31 @@ object Sampling {
              salt: String = "graft"): DataFrame =
     df.filter(hashKeep(col(keyCol), rate, salt))
 
+  /** EXACT-COUNT stratified sample: exactly `n` rows per stratum (all
+    * rows when the stratum is smaller) — the eval-set carving shape
+    * ("exactly 10k docs per language"), where a rate-based sample only
+    * hits the target in expectation. Deterministic and
+    * partitioning-independent: rows are ranked per stratum by the full
+    * md5 of (key:salt) with the key itself as the tiebreak (a total
+    * order — identical keys produce identical rows to a downstream
+    * consumer anyway), and the smallest-`n` win. Unlike the rate
+    * samplers this one SHUFFLES (one window exchange on the stratum
+    * key) — the price of an exact count; nested-sample composability
+    * holds per stratum (the n-row sample is a prefix of the m-row
+    * sample for n < m, same salt).
+    */
+  def sampleExactPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                            n: Int, salt: String = "graft"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))),
+        col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. language
     * rebalancing — downsample the head language, keep the tail), with
     * `defaultRate` for unlisted strata. One map-only predicate; the

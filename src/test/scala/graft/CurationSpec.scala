@@ -70,6 +70,28 @@ class CurationSpec extends AnyFunSuite {
     assert(headKept == expect)
   }
 
+  test("exact-count stratified sample: n per stratum, partitioning-independent, nested") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "head" else "tail")).toDF("id", "stratum")
+    val got = Sampling.sampleExactPerStratum(df, "id", "stratum", n = 50, salt = "s")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.count(_._1 == "head") == 50 && got.count(_._1 == "tail") == 50)
+    // partitioning independence
+    val again = Sampling.sampleExactPerStratum(
+      df.repartition(13), "id", "stratum", n = 50, salt = "s")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(again.toSet == got.toSet)
+    // nesting: the 20-row sample is a prefix of the 50-row sample
+    val smaller = Sampling.sampleExactPerStratum(df, "id", "stratum", n = 20, salt = "s")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(smaller.subsetOf(got.toSet))
+    // undersized stratum: all rows kept
+    val tiny = df.filter(col("id") < 9)
+    assert(Sampling.sampleExactPerStratum(tiny, "id", "stratum", 50, "s")
+      .count() == 9)
+  }
+
   // ---------------- relevance scoring ----------------
 
   test("quantized tf-idf is exact on a hand corpus") {
