@@ -13,39 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Intermediate relations persisted by the near-dup operators (shingle
-    * sets, embedding vectors). Tracked so long-lived sessions that run
-    * many near-dup queries (Bench, Verify) can release the cached blocks
-    * between operators instead of accumulating them for the session's
-    * lifetime — call `unpersistAll()` after the final action consuming a
-    * near-dup result. As a backstop for sessions that never call it,
-    * the registry self-bounds: beyond `MaxTracked` entries the OLDEST
-    * relation is unpersisted automatically (always correctness-safe —
-    * an unpersisted relation silently recomputes; only the cache win is
-    * lost).
+  /** Intermediate relations persisted by the near-dup operators
+    * (shingle sets, embedding vectors) go through the shared
+    * `CacheRegistry` — see its scaladoc for the lifecycle contract.
     */
-  private val MaxTracked = 4
-  private val persistedRelations =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistTracked(df: DataFrame): DataFrame =
+    CacheRegistry.persistTracked(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedRelations.add(p)
-    while (persistedRelations.size > MaxTracked) {
-      val old = persistedRelations.poll()
-      if (old != null) old.unpersist(false)
-    }
-    p
-  }
-
-  /** Release every intermediate relation the near-dup operators have
-    * persisted so far. Safe to call at any time: an in-flight plan that
-    * still references an unpersisted relation recomputes it lazily.
+  /** Release every intermediate relation the curation operators have
+    * persisted so far (near-dup AND the other CacheRegistry users).
+    * Safe to call at any time: an in-flight plan that still references
+    * an unpersisted relation recomputes it lazily.
     */
-  def unpersistAll(): Unit = {
-    var df = persistedRelations.poll()
-    while (df != null) { df.unpersist(false); df = persistedRelations.poll() }
-  }
+  def unpersistAll(): Unit = CacheRegistry.unpersistAll()
 
   /** Hot shingles dropped by the most recent CAPPED `jaccardNearDups`
     * run observed on this JVM (-1 until a capped run completes).
@@ -285,17 +265,38 @@ object NearDup {
   def jaccardNearDupsAgainst(base: DataFrame, increment: DataFrame,
                              idCol: String, textCol: String,
                              nShingle: Int = 3, threshold: Double = 0.5,
-                             maxDocFreq: Int = 10000): DataFrame = {
+                             maxDocFreq: Int = 10000,
+                             stopShingles: Set[Long] = Set.empty): DataFrame = {
+    if (maxDocFreq <= 0 && stopShingles.isEmpty)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn("jaccardNearDupsAgainst running UNCAPPED (maxDocFreq<=0): " +
+          "the cross-side shingle join is O(df_a*df_b) per shingle and " +
+          "goes quadratic on hot shingles — bounded runs should pass " +
+          "maxDocFreq > 0")
     def posting(df: DataFrame) = df.select(col(idCol).as("doc"),
       explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
     val pa = posting(base)
     val pb = posting(increment)
     val capped: DataFrame => DataFrame =
-      if (maxDocFreq <= 0) identity
+      if (stopShingles.nonEmpty) {
+        import base.sparkSession.implicits._
+        val stop = broadcast(stopShingles.toSeq.toDF("s"))
+        p => p.join(stop, Seq("s"), "left_anti")
+      } else if (maxDocFreq <= 0) identity
       else {
-        val ok = pa.unionByName(pb).groupBy(col("s"))
+        // same cap OBSERVABILITY as jaccardNearDups (a silent cap is
+        // indistinguishable from an exact run), and the union
+        // doc-frequency aggregation — the heaviest stage, scanning
+        // BOTH corpora — is persisted so materializing each capped
+        // side does not re-run it
+        ensureCapListener(base.sparkSession)
+        val ok = persistTracked(pa.unionByName(pb).groupBy(col("s"))
           .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDocFreq).select(col("s"))
+          .observe(CapMetricName,
+            sum(when(col("_df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_shingles"),
+            count(lit(1)).as("distinct_shingles"))
+          .filter(col("_df") <= maxDocFreq).select(col("s")))
         p => p.join(ok, Seq("s"))
       }
     val ca = persistTracked(capped(pa))

@@ -125,20 +125,33 @@ object Relevance {
     */
   def lmScoreQuantized(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+    // the token explode feeds three consumers (total count, the LM
+    // aggregation, the per-doc term frequencies) and the scored
+    // relation two (the quartile action + the caller's) — persist
+    // both so the corpus is exploded once and scored once
+    val tok = CacheRegistry.persistTracked(
+      docs.select(col(idCol).as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("term")))
     val total = tok.count()
+    // empty corpus: percentile over zero rows is NULL and getDouble
+    // would NPE — return the empty result with the right schema (the
+    // same guard bm25 documents)
+    if (total == 0)
+      return docs.select(col(idCol), lit(0L).as("n_tok"),
+        lit(0L).as("score_q"), lit(0L).as("mean_nll_q"),
+        lit("middle").as("bucket")).limit(0)
     val nll = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .withColumn("nll_q",
         floor(-log(col("cnt").cast("double") / total) * 1000).cast("long"))
       .select(col("term"), col("nll_q"))
-    val scored = tok.groupBy(col("doc"), col("term"))
+    val scored = CacheRegistry.persistTracked(tok
+      .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .join(nll, Seq("term"))
       .groupBy(col("doc"))
       .agg(sum(col("tf") * col("nll_q")).as("score_q"),
         sum(col("tf")).as("n_tok"))
-      .withColumn("mean_nll_q", expr("score_q div n_tok"))
+      .withColumn("mean_nll_q", expr("score_q div n_tok")))
     val th = scored.agg(
       percentile(col("mean_nll_q"), lit(0.25)).as("q1"),
       percentile(col("mean_nll_q"), lit(0.75)).as("q3")).head()

@@ -67,9 +67,14 @@ object Sampling {
       .partitionBy(col(strataCol))
       .orderBy(md5(concat(col(keyCol).cast("string"), lit(":" + salt))),
         col(keyCol))
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= n)
-      .drop("_rk")
+    // collision-safe internal column: a fixed name like "_rk" would
+    // silently overwrite (and then drop) a caller's column of the
+    // same name
+    val rk = Iterator.from(0).map(i => s"_rk$i")
+      .find(c => !df.columns.contains(c)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= n)
+      .drop(rk)
   }
 
   /** Stratified deterministic sample: per-stratum rates (e.g. language

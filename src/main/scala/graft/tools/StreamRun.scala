@@ -17,7 +17,13 @@ import graft.streaming.StreamingPipeline.StreamConfig
   * Usage: StreamRun [srcDir] [outRoot] [cores]
   *  - with no srcDir, synthesizes a deterministic transcript parquet
   *    first (no external data).
-  * Resumable: re-running with the same outRoot resumes from checkpoint.
+  * Resumable: re-running with the same outRoot resumes from checkpoint
+  * — PROVIDED the operator order matches the one the checkpoint was
+  * created with (the dedup state key schema differs between orders,
+  * and Spark's state-schema check refuses a mismatch by design).
+  * Default order is dedup-first (the measured-faster one, BENCH.md
+  * R4.3); set SPARK_GRAFT_STREAM_ORDER=annotate-first to resume
+  * checkpoints created by builds that predate the switch.
   */
 object StreamRun {
   def main(args: Array[String]): Unit = {
@@ -49,8 +55,13 @@ object StreamRun {
 
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val turns = spark.readStream.schema(schema).parquet(srcDir).as[Turn]
-    // dedup-first is the measured-faster operator order (BENCH.md R4.3)
-    val ann = StreamingPipeline.annotationsDedupFirst(turns, bc, cfg)
+    // dedup-first is the measured-faster operator order (BENCH.md
+    // R4.3); the env override exists for resuming checkpoints created
+    // under the old order (state key schemas differ — see scaladoc)
+    val ann =
+      if (sys.env.get("SPARK_GRAFT_STREAM_ORDER").contains("annotate-first"))
+        StreamingPipeline.annotations(turns, bc, cfg)
+      else StreamingPipeline.annotationsDedupFirst(turns, bc, cfg)
 
     val table = new IcebergLikeTable(s"$outRoot/annotations",
       Seq("data_type", "conv_bucket"))
