@@ -71,8 +71,14 @@ object ClusterStreamBench {
     val turns = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(srcDir).as[Turn]
-    val ann = StreamingPipeline.annotations(
-      turns, bc, StreamConfig(partitions = cores))
+    // dedup-first is the measured-faster order (BENCH.md R4.3); the
+    // env override matches StreamRun's for old-checkpoint resumes
+    val ann =
+      if (sys.env.get("SPARK_GRAFT_STREAM_ORDER").contains("annotate-first"))
+        StreamingPipeline.annotations(turns, bc, StreamConfig(partitions = cores))
+      else
+        StreamingPipeline.annotationsDedupFirst(
+          turns, bc, StreamConfig(partitions = cores))
     val t0 = System.nanoTime()
     val q = ann.toDF().writeStream
       .outputMode(OutputMode.Append)
