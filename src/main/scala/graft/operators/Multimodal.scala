@@ -142,6 +142,35 @@ object Multimodal {
     buf.array()
   }
 
+  /** REAL nearest-neighbor audio resample to `newRate` Hz: picks the
+    * source frame nearest each target instant per channel and
+    * re-encodes a canonical WAV — the audio member of the resize
+    * family (images/video resample pixels, audio resamples frames).
+    * Nearest-neighbor (no interpolation filter) keeps it deterministic
+    * and integer-exact; production anti-aliased resampling would slot
+    * in behind the same signature.
+    */
+  def resampleWav(payload: Array[Byte], newRate: Int): Array[Byte] = {
+    require(newRate > 0, "target rate must be positive")
+    val (rate, channels, frames, dataOff) = wavInfo(payload)
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val outFrames = (frames.toLong * newRate / rate).toInt.max(
+      if (frames > 0) 1 else 0)
+    val out = new Array[Short](outFrames * channels)
+    var i = 0
+    while (i < outFrames) {
+      val src = (i.toLong * rate / newRate).toInt.min(frames - 1)
+      var c = 0
+      while (c < channels) {
+        out(i * channels + c) =
+          buf.getShort(dataOff + (src * channels + c) * 2)
+        c += 1
+      }
+      i += 1
+    }
+    encodeWav(newRate, channels, out)
+  }
+
   /** RIFF chunk walk -> (sampleRate, channels, framesPerChannel,
     * data-chunk byte offset). Tolerates extra chunks in any order.
     */

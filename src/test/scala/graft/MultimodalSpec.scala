@@ -92,6 +92,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.bmpPixel(up, 3, 1) == 0x00FF00) // (3*4/8, 1*2/4) = (1,0)
   }
 
+  test("REAL audio resample: frame picks, channel preservation, round numbers") {
+    // 4 frames at 8 kHz, stereo: L = 100,200,300,400 / R = -1,-2,-3,-4
+    val src = Multimodal.encodeWav(8000, 2,
+      Array[Short](100, -1, 200, -2, 300, -3, 400, -4))
+    // downsample 2x: target frame i picks source frame i*8000/4000 = 2i
+    val down = Multimodal.resampleWav(src, 4000)
+    assert(Multimodal.decodeWav(down) == ((4000, 2, 2)))
+    val dBuf = java.nio.ByteBuffer.wrap(down)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(dBuf.getShort(44), dBuf.getShort(46),
+      dBuf.getShort(48), dBuf.getShort(50)) == Seq(100, -1, 300, -3))
+    // upsample 2x: each source frame replicated twice (nearest)
+    val up = Multimodal.resampleWav(src, 16000)
+    assert(Multimodal.decodeWav(up) == ((16000, 2, 8)))
+    val uBuf = java.nio.ByteBuffer.wrap(up)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(0, 1, 2, 3).map(i => uBuf.getShort(44 + i * 4)) ==
+      Seq(100, 100, 200, 200))
+    // identity rate is a frame-exact round trip
+    assert(java.util.Arrays.equals(Multimodal.resampleWav(src, 8000), src))
+    // golden.wav survives the decode contract after resampling
+    val g = Multimodal.resampleWav(resource("golden.wav"), 11025)
+    assert(Multimodal.decodeWav(g)._1 == 11025)
+  }
+
   test("REAL y4m codec decodes an independently-encoded golden file") {
     val v = resource("golden.y4m") // 4x2 C420jpeg, 2 frames, python-encoded
     assert(Multimodal.decodeY4m(v) == ((4, 2, 2)))
