@@ -246,23 +246,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("first("), "nondeterministic first() crept back in")
   }
 
-  test("component star rounds are equi-joins on 16-byte edge rows") {
+  test("component star rounds: window passes only — no joins, no broadcasts") {
     import spark.implicits._
     val edges = Seq((3L, 1L), (5L, 2L), (7L, 1L)).toDF("u", "v")
-    for ((name, round) <- Seq(
-        "large-star" -> operators.Components.largeStar(edges),
-        "small-star" -> operators.Components.smallStar(
-          operators.Components.largeStar(edges)))) {
-      val plan = round.queryExecution.executedPlan.toString
+    def hashExchanges(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    // large-star: exactly ONE exchange (the window partitioning); the
+    // former aggregate-join form planned a second exchange — or a
+    // node-count-sized BroadcastExchange, 4 of which per round were
+    // the measured latency driver (BENCH.md R4.2)
+    val lp = operators.Components.largeStar(edges)
+      .queryExecution.executedPlan.toString
+    assert(!lp.contains("Join"), s"large-star must not join:\n$lp")
+    assert(!lp.contains("BroadcastExchange"), lp)
+    assert(hashExchanges(lp) == 1, s"large-star must be ONE exchange:\n$lp")
+    // full round: large (1) + small window (1) + small distinct (1)
+    val rp = operators.Components.smallStar(operators.Components.largeStar(edges))
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("Join"), s"round must not join:\n$rp")
+    assert(!rp.contains("BroadcastExchange"), rp)
+    assert(hashExchanges(rp) == 3, s"round must be THREE exchanges:\n$rp")
+  }
+
+  test("exact-count sampling is one stratum window exchange") {
+    val plan = SparkEntry.queries("q62_exact_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"q62 must shuffle once (the stratum window):\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("LM scorer and incremental dedup never degrade to non-equi joins") {
+    for (q <- Seq("q60_lm_score", "q61_incremental_dedup")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
-        s"$name degraded to a non-equi join:\n$plan")
-      // the join output carries only node/min columns — no payloads
-      val opt = round.queryExecution.optimizedPlan
-      for (j <- opt.collect {
-          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j })
-        assert(j.output.map(_.name).toSet.subsetOf(Set("u", "v", "m", "_mn")),
-          s"$name join carries unexpected payload columns: ${j.output}")
+        s"$q degraded to a non-equi join:\n$plan")
     }
   }
 
