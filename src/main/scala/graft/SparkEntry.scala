@@ -137,6 +137,22 @@ object SparkEntry {
       "vec_id", "embedding", nBits = 4, nTables = 8)
   }
 
+  /** q63 input: the documents table plus planted re-crawl variants of
+    * the first 50 docs (uppercased, whitespace-doubled — the exact
+    * noise `TextOps.fingerprint64` normalizes away), all at one
+    * constant event time so first-arrival == smallest doc_id.
+    */
+  private def q63Docs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+    base.unionByName(base
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(upper(col("text")), " ", "  ").as("text"),
+        col("ts")))
+  }
+
   /** q23/q24 dimension-side inputs. The renders / PREDICTIVE-entry /
     * name tables are broadcast-small driver structures; exposing them
     * as DataFrames lets the oracle re-derive the output-assembly and
@@ -201,6 +217,9 @@ object SparkEntry {
     "ivf_cand" -> ((s, dir) => ivfCand(s, dir).select(col("query_id"), col("item_id"))),
     "dim_raw" -> ((s, _) =>
       sources.Synth.rawEvidenceDim(s, 20, Pipeline.DefaultSeed).toDF()),
+    "doc_fp" -> ((s, dir) => q63Docs(s, dir)
+      .select(col("doc_id"),
+        operators.TextOps.fingerprint64(col("text")).as("fp"))),
     "doc_embeddings" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         operators.TextOps.hashEmbedding(col("text"), 64).as("vec"))),
@@ -552,6 +571,22 @@ object SparkEntry {
       operators.Relevance.bm25Quantized(
         t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "window", "merge", "vector"))
+        .orderBy(col("doc_id"))
+    }),
+    "q63_content_dedup" -> ((s, dir) => {
+      // the STREAMING content-dedup operator in batch mode:
+      // first-arrival-wins per normalized-content fingerprint (min_by
+      // event time, doc_id tiebreak — constant ts here, so the
+      // smallest doc_id survives). The corpus carries no exact dups,
+      // so re-crawl variants (case + whitespace noise — exactly what
+      // the fingerprint normalizes) are planted in-query; the oracle
+      // re-derives the winners from the dumped fingerprint relation,
+      // which covers the planted rows too.
+      import s.implicits._
+      streaming.StreamingPipeline.dedupByContent(
+          q63Docs(s, dir).as[streaming.StreamingPipeline.DocEvent],
+          streaming.StreamingPipeline.StreamConfig())
+        .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
     "q62_exact_sample" -> ((s, dir) => {
@@ -1246,6 +1281,12 @@ object SparkEntry {
              AS score_q
          FROM f JOIN i USING (term) JOIN lens l USING (doc_id), n, s
          GROUP BY 1 ORDER BY 1""",
+    "q63_content_dedup" ->
+      s"""SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY fp
+             ORDER BY doc_id) AS rk
+           FROM ${rel("doc_fp")})
+         WHERE rk = 1 ORDER BY doc_id""",
     "q62_exact_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
