@@ -16,10 +16,17 @@ private[operators] object CacheRegistry {
 
   private val MaxTracked = 4
   private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]()
 
-  def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def persistTracked(df: DataFrame): DataFrame = persistTrackedDs(df)
+
+  /** Typed variant: a persisted `Dataset[T]` registers its plan in the
+    * CacheManager exactly like a DataFrame, so every later reference
+    * to the same plan (e.g. both sides of a self-join) reads the cache
+    * instead of re-executing the upstream subtree.
+    */
+  def persistTrackedDs[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.add(p)
     while (persisted.size > MaxTracked) {
       val old = persisted.poll()

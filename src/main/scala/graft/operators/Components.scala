@@ -99,6 +99,15 @@ object Components {
     * by a (count, xxhash64-xor) edge-set checksum, so the usual case
     * stops after ~log² rounds. A graph still unconverged at maxIter
     * throws rather than returning silently-partial components.
+    *
+    * RESULT LIFETIME: the returned DataFrame is backed by checkpoint
+    * blocks whose lineage is truncated — it does NOT recompute. The
+    * registry keeps the last `MaxTracked` (4) runs' blocks alive, so a
+    * result must be consumed before 4 newer `connectedComponents`
+    * calls complete (or before `releaseAll()`); actions on an older
+    * result fail with "Checkpoint block not found". Long-lived
+    * harnesses consume each result, then call `releaseAll()` between
+    * queries.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // Iterative DataFrame loops grow the logical plan geometrically

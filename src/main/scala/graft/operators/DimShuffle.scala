@@ -62,10 +62,15 @@ object DimShuffle {
       val idx = DimIndex.build(spark, dim, ctCfg, selectCt)
       MatchKernel.annotate(turns, spark.sparkContext.broadcast(idx))
     } else {
-      val idx = DimIndex.build(spark, dim, ctCfg, selectCt, withConsensus = false)
+      // the over-threshold branch reads the dimension twice (the
+      // variant-level index build and the support-count aggregation);
+      // ONE tracked materialization feeds both, so the upstream
+      // dimension pipeline (source scan, evidence filter) runs once
+      val dimP = CacheRegistry.persistTracked(dim)
+      val idx = DimIndex.build(spark, dimP, ctCfg, selectCt, withConsensus = false)
       consensusAnnotate(
         MatchKernel.annotate(turns, spark.sparkContext.broadcast(idx)),
-        supportTable(dim, ctCfg, selectCt))
+        supportTable(dimP, ctCfg, selectCt))
     }
   }
 
@@ -99,8 +104,15 @@ object DimShuffle {
     val spark = ann.sparkSession
     import spark.implicits._
 
+    // `ann` appears TWICE in the final plan (the exploded aggregation
+    // side and the joinWith probe side) and Spark has no cross-branch
+    // subtree reuse: without a materialization the annotation kernel —
+    // and its whole upstream source scan — would execute at least
+    // twice per action. One tracked persist makes the kernel run once.
+    val annP = CacheRegistry.persistTrackedDs(ann)
+
     // (turn key, tier, var_id) rows; sentinels carry no support
-    val exploded = ann.flatMap { a =>
+    val exploded = annP.flatMap { a =>
       Seq(("tier_1", a.tier_1), ("tier_1b", a.tier_1b),
           ("tier_2", a.tier_2), ("tier_3", a.tier_3)).flatMap {
         case (tier, vars) =>
@@ -135,8 +147,8 @@ object DimShuffle {
 
     // re-attach: inner data are small per turn; the join is on the
     // turn key, co-partitioned with the upstream aggregation
-    ann.joinWith(lists,
-        ann("conv_id") === lists("conv_id") && ann("turn_idx") === lists("turn_idx"),
+    annP.joinWith(lists,
+        annP("conv_id") === lists("conv_id") && annP("turn_idx") === lists("turn_idx"),
         "left_outer")
       .map { case (a, m) =>
         val ds = Option(m).map(_._3).getOrElse(Map.empty[String, Seq[String]])

@@ -41,7 +41,15 @@ object NearDup {
   def lastCapDropped: Long = lastCapDroppedVar
   private[graft] def resetCapDropped(): Unit = lastCapDroppedVar = -1L
 
-  private val CapMetricName = "graft_jaccard_cap"
+  // observation names must be unique within ONE query plan: composing
+  // two capped near-dup relations into a single query would otherwise
+  // throw AnalysisException (duplicate observation name), so every
+  // capped call mints its own suffixed name and the listener matches
+  // on the prefix
+  private val CapMetricPrefix = "graft_jaccard_cap"
+  private val capMetricCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def nextCapMetricName(): String =
+    s"${CapMetricPrefix}_${capMetricCounter.incrementAndGet()}"
   // weakly-referenced: a stopped-and-dropped SparkSession must not be
   // pinned in memory by this registry for the life of the JVM
   private val capListenerSessions =
@@ -61,7 +69,9 @@ object NearDup {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
-            qe.observedMetrics.get(CapMetricName).foreach { row =>
+            qe.observedMetrics.collect {
+              case (name, row) if name.startsWith(CapMetricPrefix) => row
+            }.foreach { row =>
               val dropped = row.getLong(0)
               lastCapDroppedVar = dropped
               if (dropped > 0)
@@ -219,7 +229,7 @@ object NearDup {
         // indistinguishable from an exact full-vocabulary run
         ensureCapListener(docs.sparkSession)
         val dfCounts = posting.groupBy(col("s")).agg(count(lit(1)).as("_df"))
-          .observe(CapMetricName,
+          .observe(nextCapMetricName(),
             sum(when(col("_df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
               .as("dropped_shingles"),
             count(lit(1)).as("distinct_shingles"))
@@ -292,7 +302,7 @@ object NearDup {
         ensureCapListener(base.sparkSession)
         val ok = persistTracked(pa.unionByName(pb).groupBy(col("s"))
           .agg(count(lit(1)).as("_df"))
-          .observe(CapMetricName,
+          .observe(nextCapMetricName(),
             sum(when(col("_df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
               .as("dropped_shingles"),
             count(lit(1)).as("distinct_shingles"))
@@ -341,23 +351,40 @@ object NearDup {
     * retiring a borderline shingle early (the safe direction for a
     * stop-shingle list; pinned in DataOpsSpec). Near-dup recall is
     * unaffected for the same reason the exact cap's is: true near-dups
-    * share mostly rare shingles. Broadcast size is width*depth*8 B
-    * (~224 MB at the eps=1e-6 default — sized so overcount stays ≪ the
-    * cap even at 10^12 postings; relax eps for smaller corpora).
+    * share mostly rare shingles.
+    *
+    * Sketch sizing: broadcast size is width·depth·8 B with
+    * width = ceil(e/eps). The default (`eps = 0`) SIZES THE SKETCH TO
+    * THE CORPUS: one shuffle-free partial-aggregated posting count T,
+    * then eps = maxDocFreq/(20·T) clamped to [1e-6, 0.01] — overcount
+    * stays ≤ 5% of the cap while a small corpus gets a KB-sized
+    * sketch instead of the ~224 MB the web-scale floor implies.
+    * Web-scale callers that know T is huge pass eps explicitly
+    * (e.g. the 1e-6 floor — ~224 MB, sized so overcount stays ≪ the
+    * cap even at 10^12 postings) and skip the sizing pass.
     *
     * Returns the hot shingle hashes (estimated doc frequency >
     * maxDocFreq) as a Set for broadcast.
     */
   def hotShinglesSketch(docs: DataFrame, idCol: String, textCol: String,
                         nShingle: Int = 3, maxDocFreq: Int = 10000,
-                        eps: Double = 1e-6, delta: Double = 1e-4): Set[Long] = {
+                        eps: Double = 0.0, delta: Double = 1e-4): Set[Long] = {
     import docs.sparkSession.implicits._
     // shingles are per-doc distinct already, so item count == posting
     // count == per-shingle doc frequency
     val posting = docs.select(
       explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
+    val epsEff =
+      if (eps > 0) eps
+      else {
+        // corpus-adaptive width: the posting count is a map-side-only
+        // aggregate (no shuffle — the scale property this path exists
+        // for is preserved)
+        val t = posting.count()
+        math.min(0.01, math.max(1e-6, maxDocFreq.toDouble / (20.0 * math.max(t, 1L))))
+      }
     val cms = posting.stat.countMinSketch(
-      "s", eps = eps, confidence = 1 - delta, seed = 42)
+      "s", eps = epsEff, confidence = 1 - delta, seed = 42)
     // a CMS answers point queries but does not list keys: enumerate
     // candidates as the distinct shingle keys and probe EXECUTOR-side
     // against the broadcast sketch — only hot keys ever reach the

@@ -76,7 +76,17 @@ object TsvReader {
     * parallelism); 0 leaves the cluster default (128 MB).
     */
   def readTsvSplittable(spark: SparkSession, path: String,
-                        maxSplitBytes: Long = 0L): DataFrame = {
+                        maxSplitBytes: Long = 0L): DataFrame =
+    readTsvSplittableCounted(spark, path, maxSplitBytes)._1
+
+  /** As `readTsvSplittable`, also returning the number of input files
+    * the scan resolved — the stats pass already knows it, and readers
+    * need it to decide whether `n_line`-derived keys must be
+    * file-qualified (per-file numbering restarts at 0, so a
+    * (payload, n_line) key is only unique within one file).
+    */
+  private def readTsvSplittableCounted(spark: SparkSession, path: String,
+                                       maxSplitBytes: Long): (DataFrame, Int) = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
     val conf = new org.apache.hadoop.conf.Configuration(
@@ -150,7 +160,7 @@ object TsvReader {
       org.apache.spark.sql.Row.fromSeq(
         parts.toIndexedSeq :+ (gid - 1L) :+ file) // 0-based BODY line number
     }
-    spark.createDataFrame(rows, schema)
+    (spark.createDataFrame(rows, schema), nFiles)
   }
 
   /** S1: SNV reader. Required: gene/dna/prot; optional impact/exon;
@@ -169,6 +179,13 @@ object TsvReader {
   /** S1 over the splittable scan: same output contract as `readSnvs`,
     * line numbers from the split-invariant byte-offset numbering — the
     * reader for the one-huge-TSV regime.
+    *
+    * Multi-file (directory/glob) inputs number each file from 0, so
+    * the reference-format `variant_key` (payload + n_line) alone is no
+    * longer a unique record identity: for such reads the key is
+    * file-qualified (`...|n_line|input_file`). Single-file reads keep
+    * the reference's exact key format, so parity with `readSnvs`
+    * holds bit-for-bit in the reference regime.
     */
   def readSnvsSplittable(spark: SparkSession, path: String,
                          geneName: String = "Gene",
@@ -176,13 +193,16 @@ object TsvReader {
                          protName: String = "Variant_prot",
                          impactName: String = "Variant_impact",
                          exonName: String = "Variant_exon",
-                         maxSplitBytes: Long = 0L): DataFrame =
-    snvsFrom(readTsvSplittable(spark, path, maxSplitBytes),
-      geneName, dnaName, protName, impactName, exonName)
+                         maxSplitBytes: Long = 0L): DataFrame = {
+    val (numbered, nFiles) = readTsvSplittableCounted(spark, path, maxSplitBytes)
+    snvsFrom(numbered, geneName, dnaName, protName, impactName, exonName,
+      fileInKey = nFiles > 1)
+  }
 
   private def snvsFrom(numbered: DataFrame,
                        geneName: String, dnaName: String, protName: String,
-                       impactName: String, exonName: String): DataFrame = {
+                       impactName: String, exonName: String,
+                       fileInKey: Boolean = false): DataFrame = {
     // n_line and input_file are reader metadata, not data columns —
     // neither belongs in the extras pass-through
     val meta = Set("n_line", "input_file")
@@ -202,11 +222,12 @@ object TsvReader {
         (if (hasExon) col(exonName) else lit("")).as("exon"),
         col("n_line"),
         array(extraCols.toIndexedSeq.map(col): _*).as("extras"))
+    val keyCols = Seq(col("dna"), col("prot"), col("impact"), col("exon"),
+      col("n_line")) ++ (if (fileInKey) Seq(col("input_file")) else Nil)
     numbered
       .select((if (numbered.columns.contains("input_file"))
         baseSel :+ col("input_file") else baseSel): _*)
-      .withColumn("variant_key", concat_ws("|",
-        col("dna"), col("prot"), col("impact"), col("exon"), col("n_line")))
+      .withColumn("variant_key", concat_ws("|", keyCols: _*))
       .withColumn("data_type", lit("SNV"))
   }
 

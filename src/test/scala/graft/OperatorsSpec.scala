@@ -106,6 +106,16 @@ class OperatorsSpec extends AnyFunSuite {
     val snv = TsvReader.readSnvsSplittable(spark, dir)
     assert(snv.columns.contains("input_file"))
     assert(snv.filter(snv("n_line") === 0L).count() == 3) // one per file
+    // multi-file keys are file-qualified: identical payloads at the
+    // same per-file line number in different files must NOT collide
+    val dupDir = java.nio.file.Files.createTempDirectory("dupkey").toString
+    for (name <- Seq("x", "y"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dupDir/$name.tsv"),
+        "Gene\tVariant_dna\tVariant_prot\nKRAS\tc.35G>A\tp.G12D\n")
+    val dup = TsvReader.readSnvsSplittable(spark, dupDir)
+    assert(dup.select("variant_key").distinct().count() == 2,
+      "identical rows in two files collided on variant_key")
     // diverging headers must refuse, not silently union
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.tsv"),
       "Gene\tOther\nG\tx\n")
