@@ -608,6 +608,23 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "q65_lm_bigram" -> ((s, dir) => {
+      // bigram LM with stupid backoff, trained on the corpus and
+      // scoring the corpus PLUS planted token-REVERSED variants: a
+      // unigram LM scores a shuffled document identically to its
+      // original (q60's documented fidelity gap); the reversed docs'
+      // adjacencies miss the bigram table and pay the backoff
+      // penalty — the oracle pins every quantized integer, the spec
+      // pins the order-sensitivity separation
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 150)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ",
+            reverse(operators.TextOps.tokens(col("text")))).as("text"))
+      val ev = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      operators.Relevance.bigramLmScoreQuantized(docs, ev, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q60_lm_score" -> ((s, dir) => {
       // CCNet-style unigram-LM perplexity filter: quantized per-doc
       // negative log-likelihood + head/middle/tail quartile buckets
@@ -855,6 +872,17 @@ object SparkEntry {
           defaultFilteredDim(s), Pipeline.defaultCt))
         .orderBy(col("conv_id"), col("turn_idx"), col("tier"))
     }),
+    "q64_drug_targets_shuffle" -> ((s, _) => {
+      import s.implicits._
+      // SHUFFLE-regime drug-targets report: the PREDICTIVE-entry and
+      // variant-name lookups run as distributed (gene_key, var_id)
+      // equi-joins instead of driver-collected broadcast maps (forced
+      // over-threshold) — must equal q24's report row-for-row, so it
+      // shares q24's oracle
+      operators.Reports.drugTargetsAuto(s,
+        Pipeline.run(s).as[operators.Annotation], defaultFilteredDim(s),
+        Pipeline.defaultCt, maxBroadcastRows = 10)
+    }),
     "q59_ann_shuffle" -> ((s, _) => {
       // SHUFFLE-regime consensus: the index is built WITHOUT the
       // driver-collected count vectors (forced over-threshold) and
@@ -894,7 +922,8 @@ object SparkEntry {
     // so they share the broadcast queries' oracle SQL (the same
     // cross-path discipline as q39 = q15's SQL in batch mode)
     "q58_output_shuffle" -> oracleSqlBase("q23_output_table"),
-    "q59_ann_shuffle" -> oracleSqlBase("q21_annotations"))
+    "q59_ann_shuffle" -> oracleSqlBase("q21_annotations"),
+    "q64_drug_targets_shuffle" -> oracleSqlBase("q24_drug_targets"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1311,6 +1340,68 @@ object SparkEntry {
              AND b.doc_id >= (SELECT c FROM cut))
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE jaccard >= 0.5 ORDER BY 1, 2""",
+    "q65_lm_bigram" ->
+      """WITH ev AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000,
+             array_to_string(list_reverse(
+               string_split_regex(trim(lower(text)), '\s+')), ' ')
+           FROM documents WHERE doc_id < 150),
+         trt AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT unnest(toks) AS term FROM trt),
+         tot AS (SELECT count(*) AS n FROM tok),
+         uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         uniq AS (SELECT term, cnt,
+             CAST(floor(-ln(CAST(cnt AS DOUBLE) / tot.n) * 1000) AS BIGINT)
+               AS nll_uni_q,
+             CAST(floor(-ln(CAST(0.4 AS DOUBLE) * cnt / tot.n) * 1000) AS BIGINT)
+               AS nll_bo_q
+           FROM uni, tot),
+         trbg AS (SELECT
+             unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+           FROM trt),
+         bic AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS cb
+           FROM trbg GROUP BY 1, 2),
+         biq AS (SELECT w1, w2,
+             CAST(floor(-ln(CAST(cb AS DOUBLE) / u.cnt) * 1000) AS BIGINT)
+               AS nll_bi_q
+           FROM bic JOIN uniq u ON bic.w1 = u.term),
+         evt AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks FROM ev),
+         lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM evt),
+         firsts AS (SELECT e.doc_id,
+             coalesce(u.nll_uni_q,
+               CAST(floor(ln(CAST(tot.n AS DOUBLE)) * 1000) AS BIGINT))
+               AS contrib
+           FROM evt e CROSS JOIN tot LEFT JOIN uniq u ON e.toks[1] = u.term),
+         evbg AS (SELECT doc_id,
+             unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+           FROM evt),
+         evbi AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2, count(*) AS tf
+           FROM evbg GROUP BY 1, 2, 3),
+         scoredbi AS (SELECT e.doc_id,
+             e.tf * coalesce(b.nll_bi_q, u2.nll_bo_q,
+               CAST(floor(-ln(CAST(0.4 AS DOUBLE) * 1 / tot.n) * 1000) AS BIGINT))
+               AS contrib
+           FROM evbi e CROSS JOIN tot
+             LEFT JOIN biq b ON e.w1 = b.w1 AND e.w2 = b.w2
+             LEFT JOIN uniq u2 ON e.w2 = u2.term),
+         allc AS (SELECT doc_id, contrib FROM firsts
+           UNION ALL SELECT doc_id, contrib FROM scoredbi),
+         sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_q
+           FROM allc GROUP BY 1),
+         sc2 AS (SELECT sc.doc_id, l.n_tok, sc.score_q,
+             sc.score_q // l.n_tok AS mean_nll_q
+           FROM sc JOIN lens l USING (doc_id)),
+         th AS (SELECT quantile_cont(mean_nll_q, 0.25) AS q1,
+             quantile_cont(mean_nll_q, 0.75) AS q3 FROM sc2)
+         SELECT doc_id, n_tok, score_q, mean_nll_q,
+           CASE WHEN mean_nll_q <= th.q1 THEN 'head'
+                WHEN mean_nll_q > th.q3 THEN 'tail'
+                ELSE 'middle' END AS bucket
+         FROM sc2, th ORDER BY doc_id""",
     "q60_lm_score" ->
       """WITH tok AS (SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

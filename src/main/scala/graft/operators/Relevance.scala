@@ -163,6 +163,105 @@ object Relevance {
         .otherwise("middle").as("bucket"))
   }
 
+  /** CCNet-style BIGRAM LM with stupid backoff (Brants et al., "Large
+    * Language Models in Machine Translation", EMNLP 2007): the n-gram
+    * upgrade of `lmScoreQuantized` that CAN penalize word-order
+    * garbage — a unigram model scores a shuffled document identically
+    * to its natural-order original; a bigram model sees every shuffled
+    * adjacency as an unseen bigram and pays the backoff penalty
+    * (pinned in the spec).
+    *
+    * Model (trained on `train`, scoring `docs` — CCNet proper trains
+    * on a clean corpus and scores the crawl):
+    *  - first token w0:     p = c_uni(w0)/T        (OOV: 1/T)
+    *  - bigram (w1, w2):    p = c_bi(w1,w2)/c_uni(w1) when seen,
+    *    else backoff        p = 0.4 · c_uni(w2)/T   (OOV w2: count 1)
+    *
+    * Cross-engine exactness (the q60 discipline): every probability's
+    * ln() argument is an IEEE product/quotient of exact integers (and
+    * the exact double literal 0.4), nll_q = floor(-ln(p) · 1000), and
+    * ONLY integers are summed: score_q(d) = nll_q(w0) + Σ nll_q(bigram
+    * occurrences), mean_nll_q = score_q div n_tok, head/middle/tail by
+    * the corpus quartiles of the mean exactly as `lmScoreQuantized`.
+    *
+    * Scale shape: bigrams derive map-only per document (zipped slices
+    * of the token array — no self-join, no window); the LM tables are
+    * (term) / (w1, w2)-keyed aggregations joined back on those keys
+    * (AQE broadcasts them when the vocabulary is small); the only
+    * driver scalars are T and the two quartiles. Overflow: per-token
+    * nll_q ≤ 1000·(ln T + 1), so at 10^12 tokens score_q ≤ n_tok·28547.
+    */
+  def bigramLmScoreQuantized(train: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    val trainTok = CacheRegistry.persistTracked(
+      train.select(explode(TextOps.tokens(col(textCol))).as("term")))
+    val t = trainTok.count()
+    if (t == 0)
+      return docs.select(col(idCol), lit(0L).as("n_tok"),
+        lit(0L).as("score_q"), lit(0L).as("mean_nll_q"),
+        lit("middle").as("bucket")).limit(0)
+    // unigram table: plain nll (first token), backoff nll (0.4·c/T),
+    // and the raw count (the bigram table's denominator)
+    val uni = CacheRegistry.persistTracked(
+      trainTok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .select(col("term"), col("cnt"),
+          floor(-log(col("cnt").cast("double") / t) * 1000)
+            .cast("long").as("nll_uni_q"),
+          floor(-log(lit(0.4) * col("cnt") / t) * 1000)
+            .cast("long").as("nll_bo_q")))
+    // OOV constants: an unseen word scores as count 1 (the standard
+    // <unk>-as-singleton floor — keeps every probability finite)
+    val nllUniOov = math.floor(math.log(t.toDouble) * 1000).toLong
+    val nllBoOov = math.floor(-math.log(0.4 * 1 / t.toDouble) * 1000).toLong
+
+    // map-only bigram derivation: zip the token array with its shift
+    // (no self-join, no window). Two-step select so the token split
+    // runs once per row (CollapseProject would re-inline a same-select
+    // split per reference).
+    def bigramExplode(tokArrays: DataFrame): DataFrame =
+      tokArrays.withColumn("bg", explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))))
+        .withColumn("w1", col("bg.0")).withColumn("w2", col("bg.1"))
+        .drop("bg", "toks")
+
+    val trainBi = bigramExplode(
+        train.select(TextOps.tokens(col(textCol)).as("toks")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .join(uni.select(col("term").as("w1"), col("cnt").as("c1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor(-log(col("cb").cast("double") / col("c1")) * 1000)
+          .cast("long").as("nll_bi_q"))
+
+    val evalT = CacheRegistry.persistTracked(
+      docs.select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("toks")))
+    val lens = evalT.select(col("doc"), size(col("toks")).cast("long").as("n_tok"))
+    val firsts = evalT.select(col("doc"), element_at(col("toks"), 1).as("term"))
+      .join(uni.select(col("term"), col("nll_uni_q")), Seq("term"), "left")
+      .select(col("doc"),
+        coalesce(col("nll_uni_q"), lit(nllUniOov)).as("contrib"))
+    val bigr = bigramExplode(evalT)
+      .groupBy(col("doc"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .join(trainBi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("term").as("w2"), col("nll_bo_q")), Seq("w2"), "left")
+      .select(col("doc"), (col("tf") *
+        coalesce(col("nll_bi_q"), col("nll_bo_q"), lit(nllBoOov))).as("contrib"))
+    val scored = CacheRegistry.persistTracked(
+      firsts.unionByName(bigr)
+        .groupBy(col("doc")).agg(sum(col("contrib")).as("score_q"))
+        .join(lens, Seq("doc"))
+        .withColumn("mean_nll_q", expr("score_q div n_tok")))
+    val th = scored.agg(
+      percentile(col("mean_nll_q"), lit(0.25)).as("q1"),
+      percentile(col("mean_nll_q"), lit(0.75)).as("q3")).head()
+    val (q1, q3) = (th.getDouble(0), th.getDouble(1))
+    scored.select(col("doc").as(idCol), col("n_tok"), col("score_q"),
+      col("mean_nll_q"),
+      when(col("mean_nll_q") <= q1, "head")
+        .when(col("mean_nll_q") > q3, "tail")
+        .otherwise("middle").as("bucket"))
+  }
+
   /** Okapi BM25 over the query-term set (double-precision — the
     * engine-facing scorer; cross-engine checks use the quantized
     * variant above because ln() is not bit-portable).

@@ -146,10 +146,149 @@ object Reports {
 
   /** Variant-name lookup helper for drugTargets. */
   def buildNameMap(spark: SparkSession, dim: DataFrame): Broadcast[Map[(String, String), String]] = {
-    val names = dim.groupBy(col("gene_key"), col("var_id"))
-      .agg(first(col("var_name")).as("n")).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2).toUpperCase)
+    val names = nameTable(dim).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
       .toMap
     spark.sparkContext.broadcast(names)
+  }
+
+  // -------------------------------------------------------------------
+  // Shuffle regime (non-broadcast dimension) — the dual of the
+  // broadcast maps above, mirroring DimShuffle / writeMatchTableAuto:
+  // when the dimension outgrows the driver collect, the PREDICTIVE
+  // entry and name lookups become distributed relations joined on
+  // (gene_key, var_id). ONE definition of each aggregation feeds both
+  // regimes (the broadcast maps are collected FROM these tables), so
+  // broadcast-vs-shuffle parity cannot drift between two copies.
+  // -------------------------------------------------------------------
+
+  private def ctRankUdf = udf((ct: String) => graft.model.Cts.rank(ct))
+
+  /** Distributed (gene_key, var_id) -> var_name (uppercased) table —
+    * the collected form backs `buildNameMap`.
+    */
+  def nameTable(dim: DataFrame): DataFrame =
+    dim.groupBy(col("gene_key"), col("var_id"))
+      .agg(upper(first(col("var_name"))).as("civic_variant"))
+
+  /** Distributed PREDICTIVE-entry table: one row per
+    * (gene_key, var_id, ct, disease, drug) with the reference's
+    * first-seen entry ordering (`entry_idx`) and the `;`-joined leaf
+    * evidence strings in (ct-rank, dim_order) order — exactly the
+    * per-variant lists `buildPredEntries` builds on the driver.
+    *
+    * Scale shape: every aggregation/window is keyed by the variant (or
+    * the entry triple) — per-key cardinality is the per-variant
+    * evidence count, never the dimension size, and nothing is
+    * collected.
+    */
+  def predEntriesTable(dim: DataFrame, ctCfg: CtConfig,
+                       selectCt: Either[String, Seq[String]] = Left("highest")): DataFrame = {
+    val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
+      .filter(col("evidence_type") === "PREDICTIVE")
+      .withColumn("_rank", ctRankUdf(col("ct")))
+      .withColumn("_ev", concat(col("direction"), lit(":"), col("significance"),
+        lit("("), col("level"), lit("("), col("source_type"), lit("_"),
+        col("source_id"), lit("))")))
+    // per (variant, ct, disease, drug): leaves ordered by dim_order
+    // (ct-rank is constant within the triple); the triple's first-seen
+    // position in the (rank, dim_order)-sorted walk is min(rank,
+    // dim_order) — dim_order is unique per dimension row, so the
+    // ordering is total
+    val triples = ctSel
+      .groupBy(col("gene_key"), col("var_id"), col("ct"),
+        col("disease"), col("drug"))
+      .agg(
+        concat_ws(";", transform(
+          sort_array(collect_list(struct(col("dim_order"), col("_ev")))),
+          x => x.getField("_ev"))).as("evidence"),
+        min(struct(col("_rank"), col("dim_order"))).as("_first"))
+    val w = Window.partitionBy(col("gene_key"), col("var_id"))
+      .orderBy(col("_first"))
+    triples
+      .withColumn("entry_idx", row_number().over(w) - 1)
+      .select(col("gene_key"), col("var_id"), col("drug"), col("ct"),
+        col("disease"), col("evidence"), col("entry_idx"))
+  }
+
+  /** Annotations exploded to one row per matched (tier, variant) with
+    * the deterministic processing-order indexes — the shared first
+    * stage of both drugTargets regimes.
+    */
+  private def explodeMatches(ann: Dataset[Annotation]): DataFrame = {
+    import ann.sparkSession.implicits._
+    val specials = MatchKernel.TierSentinels
+    ann.flatMap { a =>
+      val tiers = Seq("tier_1" -> a.tier_1, "tier_1b" -> a.tier_1b,
+        "tier_2" -> a.tier_2, "tier_3" -> a.tier_3)
+      for {
+        ((tier, ids), tierIdx) <- tiers.zipWithIndex
+        (varId, varIdx) <- ids.zipWithIndex
+        if !specials.contains(varId.toUpperCase)
+      } yield (a.gene_key, varId, tier, a.conv_id, a.turn_idx, tierIdx, varIdx)
+    }.toDF("gene_key", "var_id", "tier", "conv_id", "turn_idx",
+      "tier_idx", "var_idx")
+  }
+
+  /** First-seen-per-(drug, gene) + frequency ranking over the joined
+    * entry rows — the shared second stage of both regimes.
+    */
+  private def assembleDrugTargets(entries: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("drug"), col("gene"))
+      .orderBy(col("conv_id"), col("turn_idx"), col("tier_idx"),
+        col("var_idx"), col("entry_idx"))
+    val first = entries.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val freq = first.groupBy(col("drug"))
+      .agg(countDistinct(col("gene")).as("n_genes"))
+    first.join(freq, Seq("drug"))
+      .orderBy(col("n_genes").desc, col("drug"), col("gene"))
+      .select("drug", "n_genes", "gene", "civic_variant", "tier",
+        "evidence_type", "ct", "disease", "evidence", "conv_id", "turn_idx")
+  }
+
+  /** SHUFFLE-regime drug-targets report: annotations explode to
+    * matched-variant rows (bounded by matches per turn, not dimension
+    * size) and the PREDICTIVE-entry/name lookups are equi-joins on
+    * (gene_key, var_id) — no driver-collected map anywhere. Output is
+    * row-for-row identical to the broadcast `drugTargets`
+    * (ReportsShuffleSpec pins parity; the q64 oracle shares q24's).
+    */
+  def drugTargetsDist(ann: Dataset[Annotation], predTable: DataFrame,
+                      names: DataFrame): DataFrame = {
+    val joined = explodeMatches(ann)
+      .join(predTable, Seq("gene_key", "var_id"))
+      .join(names, Seq("gene_key", "var_id"), "left")
+      .select(col("drug"), col("gene_key").as("gene"),
+        coalesce(col("civic_variant"), col("var_id")).as("civic_variant"),
+        col("tier"), lit("PREDICTIVE").as("evidence_type"), col("ct"),
+        col("disease"), col("evidence"), col("conv_id"), col("turn_idx"),
+        col("tier_idx"), col("var_idx"), col("entry_idx"))
+    assembleDrugTargets(joined)
+  }
+
+  /** Regime-split drug-targets report, mirroring `DimShuffle
+    * .annotateAuto` / `OutputAssembly.writeMatchTableAuto`: while the
+    * dimension fits the driver the entry/name tables are collected and
+    * broadcast; beyond it the report is assembled with shuffle joins.
+    * The probe is the SHARED `DimShuffle.overBroadcastThreshold`, so
+    * the three selectors can never disagree about a dimension's
+    * regime.
+    */
+  def drugTargetsAuto(spark: SparkSession, ann: Dataset[Annotation],
+                      dim: DataFrame, ctCfg: CtConfig,
+                      selectCt: Either[String, Seq[String]] = Left("highest"),
+                      maxBroadcastRows: Long = 500000): DataFrame = {
+    val pred = predEntriesTable(dim, ctCfg, selectCt)
+    if (!DimShuffle.overBroadcastThreshold(dim, maxBroadcastRows)) {
+      val predMap = pred.collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          PredEntry(r.getString(2), r.getString(3), r.getString(4),
+            r.getString(5), r.getInt(6))))
+        .groupBy(_._1)
+        .map { case (k, es) => k -> es.map(_._2).sortBy(_.entryIdx).toList }
+      drugTargets(ann, spark.sparkContext.broadcast(predMap),
+        buildNameMap(spark, dim))
+    } else drugTargetsDist(ann, pred, nameTable(dim))
   }
 }

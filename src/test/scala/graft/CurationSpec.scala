@@ -186,6 +186,46 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("bigram LM with backoff: exact hand corpus + order sensitivity unigram lacks") {
+    import spark.implicits._
+    // T=9; uni: the=3, cat=2, sat=2, ran=1, dog=1
+    // bigrams: (the,cat)=2 (the,dog)=1 (cat,sat)=1 (cat,ran)=1 (dog,sat)=1
+    val train = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat ran"),
+      (2L, "the dog sat")).toDF("doc_id", "text")
+    val ev = Seq(
+      (0L, "the cat sat"), // natural order: every bigram seen
+      (1L, "sat cat the"), // reversed: unseen bigrams -> backoff
+      (2L, "the zebra"),   // OOV second word -> OOV backoff floor
+      (3L, "zebra")).toDF("doc_id", "text") // OOV first word
+    val got = Relevance.bigramLmScoreQuantized(train, ev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def fl(x: Double) = math.floor(x * 1000).toLong
+    def nllU(c: Int) = fl(-math.log(c / 9.0))
+    def nllBi(cb: Int, c1: Int) = fl(-math.log(cb.toDouble / c1))
+    def nllBo(c2: Int) = fl(-math.log(0.4 * c2 / 9.0))
+    val s0 = nllU(3) + nllBi(2, 3) + nllBi(1, 2)
+    val s1 = nllU(2) + nllBo(2) + nllBo(3) // (sat,cat)->cat, (cat,the)->the
+    val s2 = nllU(3) + fl(-math.log(0.4 * 1 / 9.0))
+    val s3 = fl(math.log(9.0))
+    assert(got(0L) == ((3L, s0, s0 / 3, got(0L)._4)))
+    assert(got(1L)._2 == s1)
+    assert(got(2L)._2 == s2)
+    assert(got(3L) == ((1L, s3, s3, got(3L)._4)))
+    // the separation a unigram LM cannot produce: identical token
+    // multiset, natural order scores strictly better than shuffled
+    assert(got(1L)._2 > got(0L)._2,
+      "word-shuffled doc did not score worse than its original")
+    // determinism across repartitioning (integer-exact everywhere)
+    val again = Relevance.bigramLmScoreQuantized(
+        train.repartition(5), ev.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(again == got)
+  }
+
   // ---------------- repetition signals ----------------
 
   test("native ngram_rep_stats matches the declarative form") {

@@ -82,6 +82,62 @@ class DimShuffleSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed pred-entries table equals the driver buildPredEntries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{struct, col}
+    val collected = CtClassifier.select(
+        CtClassifier.annotate(dim, Pipeline.defaultCt), Left("highest"))
+      .select(struct(dim.columns.toIndexedSeq.map(col): _*).as("_1"),
+        col("ct").as("_2"))
+      .as[(graft.model.EvidenceRow, String)].collect().toSeq
+    val want = Reports.buildPredEntries(collected)
+    val got = Reports.predEntriesTable(dim, Pipeline.defaultCt).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        Reports.PredEntry(r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5), r.getInt(6))))
+      .groupBy(_._1)
+      .map { case (k, es) => k -> es.map(_._2).sortBy(_.entryIdx).toList }
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want)
+      assert(got(k) == w, s"pred entries mismatch at $k")
+    // fixture sanity: multi-entry variants exist (entry ordering is
+    // actually exercised, not vacuously equal)
+    assert(want.values.exists(_.length > 2))
+  }
+
+  test("shuffle drug-targets report equals the broadcast report row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{struct, col}
+    val bcIdx = spark.sparkContext.broadcast(
+      DimIndex.build(spark, dim, Pipeline.defaultCt))
+    val ann = MatchKernel.annotate(turns, bcIdx)
+    val collected = CtClassifier.select(
+        CtClassifier.annotate(dim, Pipeline.defaultCt), Left("highest"))
+      .select(struct(dim.columns.toIndexedSeq.map(col): _*).as("_1"),
+        col("ct").as("_2"))
+      .as[(graft.model.EvidenceRow, String)].collect().toSeq
+    val want = Reports.drugTargets(ann,
+        spark.sparkContext.broadcast(Reports.buildPredEntries(collected)),
+        Reports.buildNameMap(spark, dim))
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty)
+    val got = Reports.drugTargetsDist(ann,
+        Reports.predEntriesTable(dim, Pipeline.defaultCt),
+        Reports.nameTable(dim))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // the auto selector picks the shuffle path at a forced threshold
+    val auto = Reports.drugTargetsAuto(spark, ann, dim, Pipeline.defaultCt,
+        maxBroadcastRows = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == want)
+    // and the under-threshold branch (broadcast maps collected FROM the
+    // distributed tables) matches too
+    val under = Reports.drugTargetsAuto(spark, ann, dim, Pipeline.defaultCt)
+      .collect().map(_.toString).sorted.toSeq
+    assert(under == want)
+  }
+
   test("shuffle writeMatchTable equals the broadcast table row-for-row") {
     val bcIdx = spark.sparkContext.broadcast(
       DimIndex.build(spark, dim, Pipeline.defaultCt))
