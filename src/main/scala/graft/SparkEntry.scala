@@ -883,6 +883,28 @@ object SparkEntry {
         Pipeline.run(s).as[operators.Annotation], defaultFilteredDim(s),
         Pipeline.defaultCt, maxBroadcastRows = 10)
     }),
+    "q66_match_shuffle" -> ((s, _) => {
+      // FULL-shuffle regime: even the match-string index is too large
+      // to collect (forced via maxIndexRows) — tier matching runs as
+      // the explode + (gene_key, domain, string) equi-join and the
+      // consensus as shuffle joins; must equal q21's broadcast-kernel
+      // output row-for-row, so it shares q21's oracle
+      val turns = sources.Synth.transcripts(s,
+        sources.Synth.TurnGenConfig(nConvs = 100, turnsPerConv = 10,
+          nGenes = Pipeline.DefaultGenes))
+      operators.DimShuffle.annotateAuto(s, turns, defaultFilteredDim(s),
+          Pipeline.defaultCt, maxBroadcastRows = 5, maxIndexRows = 10)
+        .toDF()
+        .select(col("conv_id"), col("turn_idx"), col("gene_key"),
+          col("data_type"), col("highest_tier"),
+          concat_ws(";", col("tier_1")).as("tier_1"),
+          concat_ws(";", col("tier_1b")).as("tier_1b"),
+          concat_ws(";", col("tier_2")).as("tier_2"),
+          concat_ws(";", col("tier_3")).as("tier_3"),
+          col("tier_4"),
+          concat_ws(";", col("ds_tier_1")).as("ds_tier_1"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
     "q59_ann_shuffle" -> ((s, _) => {
       // SHUFFLE-regime consensus: the index is built WITHOUT the
       // driver-collected count vectors (forced over-threshold) and
@@ -923,7 +945,8 @@ object SparkEntry {
     // cross-path discipline as q39 = q15's SQL in batch mode)
     "q58_output_shuffle" -> oracleSqlBase("q23_output_table"),
     "q59_ann_shuffle" -> oracleSqlBase("q21_annotations"),
-    "q64_drug_targets_shuffle" -> oracleSqlBase("q24_drug_targets"))
+    "q64_drug_targets_shuffle" -> oracleSqlBase("q24_drug_targets"),
+    "q66_match_shuffle" -> oracleSqlBase("q21_annotations"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -51,6 +51,34 @@ final case class DimIndex(genes: Map[String, GeneDim]) {
 
 object DimIndex {
 
+  /** Per-variant derived index entries — THE single definition of the
+    * dimension side of the match-string index, shared by the broadcast
+    * `build` below and the shuffle-regime `MatchShuffle` so the two
+    * regimes cannot drift. `nameUpper` must already be uppercased.
+    */
+  final case class VariantIndexEntries(
+      snvStrings: Seq[String],
+      exprStrings: Seq[String],
+      isExonCnv: Boolean,
+      isGeneral: Boolean,
+      isCnvRecord: Boolean,
+      isExprRecord: Boolean)
+
+  def variantIndexEntries(nameUpper: String, hgvs: Seq[String]): VariantIndexEntries = {
+    // SNV strings: full pipeline (match.py:313-367); CNV/EXPR match on
+    // the record name only (match.py:336); EXPR exon records also
+    // match their expression type (match.py:720-728)
+    val snv = Nomenclature.civicMatchStrings(nameUpper, hgvs, "SNV").distinct
+    val (isExonExpr, exprType) = Nomenclature.exprIsExonString(nameUpper)
+    val expr = nameUpper +:
+      (if (isExonExpr && exprType.nonEmpty) Seq(exprType) else Nil)
+    VariantIndexEntries(snv, expr,
+      isExonCnv = Nomenclature.cnvIsExonString(nameUpper),
+      isGeneral = Nomenclature.checkGeneralVariant(nameUpper),
+      isCnvRecord = Nomenclature.isCnvRecordName(nameUpper),
+      isExprRecord = Nomenclature.isExprRecordName(nameUpper))
+  }
+
   /** Build the index from a flat evidence DataFrame (EvidenceRow
     * schema). `dim` should already be evidence-filtered
     * (EvidenceFilter); ct annotation/selection happens here because the
@@ -126,7 +154,6 @@ object DimIndex {
         val hgvs = r.getSeq[String](3)
         varIds(p) = varId
         varNames(p) = name
-        isGeneral(p) = Nomenclature.checkGeneralVariant(name)
 
         val sup = supByVar.getOrElse((gene, varId), mutable.HashMap.empty)
         val entries = sup.toArray.map { case ((d, c), cnt) => (drugCtIndex((d, c)), cnt) }
@@ -134,27 +161,23 @@ object DimIndex {
         varSupIdx(p) = entries.map(_._1)
         varSupCnt(p) = entries.flatMap(_._2)
 
-        // SNV strings: full pipeline (match.py:313-367)
-        for (s <- Nomenclature.civicMatchStrings(name, hgvs, "SNV").distinct)
+        // shared per-variant derivation (the shuffle regime explodes
+        // the same entries into a joinable relation)
+        val e = variantIndexEntries(name, hgvs)
+        isGeneral(p) = e.isGeneral
+        for (s <- e.snvStrings)
           snvIdx.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += p
-        // CNV / EXPR: record name only (match.py:336)
         cnvIdx.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += p
-        exprIdx.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += p
-        // EXPR exon records also match their expression type
-        // (match.py:720-728)
-        val (isExonExpr, exprType) = Nomenclature.exprIsExonString(name)
-        if (isExonExpr && exprType.nonEmpty)
-          exprIdx.getOrElseUpdate(exprType, mutable.ArrayBuffer.empty) += p
+        for (s <- e.exprStrings)
+          exprIdx.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += p
         // exon-CNV records: positional match for input DELETION
         // (match.py:627-638)
-        if (Nomenclature.cnvIsExonString(name)) exonCnv += p
+        if (e.isExonCnv) exonCnv += p
         // record-kind classification for tier-3 fallbacks
         // (match.py:219-310)
-        val isCnv = Nomenclature.isCnvRecordName(name)
-        val isExpr = Nomenclature.isExprRecordName(name)
-        if (!isCnv && !isExpr) snvFb += p
-        if (isCnv) cnvFb += p
-        if (isExpr) exprFb += p
+        if (!e.isCnvRecord && !e.isExprRecord) snvFb += p
+        if (e.isCnvRecord) cnvFb += p
+        if (e.isExprRecord) exprFb += p
       }
       gene -> GeneDim(varIds, varNames, isGeneral,
         snvIdx.view.mapValues(_.toArray).toMap,

@@ -42,25 +42,36 @@ object DimShuffle {
   def overBroadcastThreshold(dim: DataFrame, maxRows: Long): Boolean =
     dim.limit((maxRows + 1).min(Int.MaxValue).toInt).count() > maxRows
 
-  /** Regime-split annotation, mirroring `VersionedDim`: while the
-    * dimension fits the driver (`maxBroadcastRows`), the kernel runs
-    * with broadcast consensus vectors; beyond it, the index is built
-    * WITHOUT them (`withConsensus = false`) and `ds_tier_*` is
-    * re-derived by the shuffle path. The match index itself is always
-    * broadcast — match keys are a per-gene knowledge base whose
-    * footprint does not scale with (variants x drugs x ct) the way the
-    * consensus vectors and renders do. The threshold probe is a
-    * `limit(n+1).count()` early-out, not a full scan.
+  /** THREE-regime annotation split, mirroring `VersionedDim`:
+    *
+    *  1. dimension fits the driver (`maxBroadcastRows`): broadcast
+    *     kernel with broadcast consensus vectors — map-only on the
+    *     fact stream, the 10^12-turn default;
+    *  2. consensus vectors too big but the match index still
+    *     collectable (`maxIndexRows`): index built WITHOUT consensus
+    *     (`withConsensus = false`), `ds_tier_*` re-derived by the
+    *     shuffle consensus;
+    *  3. even the exploded match-string index exceeds the driver
+    *     (`maxIndexRows`, a civic-scale×100 dimension): the full
+    *     `MatchShuffle` equi-join path — tier matching AND consensus
+    *     as distributed joins, nothing collected anywhere.
+    *
+    * Each threshold probe is a `limit(n+1).count()` early-out, not a
+    * full scan (regimes 1 and 2 never pay the second probe... regime 1
+    * pays only the first).
     */
   def annotateAuto(spark: org.apache.spark.sql.SparkSession,
                    turns: Dataset[graft.model.Turn], dim: DataFrame,
                    ctCfg: CtConfig,
                    selectCt: Either[String, Seq[String]] = Left("highest"),
-                   maxBroadcastRows: Long = 500000): Dataset[Annotation] = {
+                   maxBroadcastRows: Long = 500000,
+                   maxIndexRows: Long = 4000000): Dataset[Annotation] = {
     val over = overBroadcastThreshold(dim, maxBroadcastRows)
     if (!over) {
       val idx = DimIndex.build(spark, dim, ctCfg, selectCt)
       MatchKernel.annotate(turns, spark.sparkContext.broadcast(idx))
+    } else if (overBroadcastThreshold(dim, maxIndexRows)) {
+      MatchShuffle.annotate(spark, turns, dim, ctCfg, selectCt)
     } else {
       // the over-threshold branch reads the dimension twice (the
       // variant-level index build and the support-count aggregation);

@@ -133,19 +133,33 @@ object MatchKernel {
     }
   }
 
+  /** Input-side match keys with their tier bits (bit0 = tier_1
+    * true-exact, bit1 = tier_1b exact, bit2 = tier_2 positional) and
+    * index domain — THE single definition of the turn side of the
+    * match, shared by the broadcast kernel below and the
+    * shuffle-regime `MatchShuffle` equi-join so the two regimes
+    * cannot drift. The `CNV_EXON` domain is the positional probe an
+    * input DELETION makes against exon-CNV records (match.py:627-638).
+    */
+  def keyBits(p: Parsed): List[(String, String, Int)] = p.dataType match {
+    case "SNV" =>
+      Nomenclature.inputMatchStrings(p.variants, "SNV", p.impacts, p.exons)
+        .map(k => ("SNV", k.s, if (k.isExact) { if (k.isTrueExact) 1 else 2 } else 4))
+    case "CNV" =>
+      Nomenclature.inputMatchStrings(p.variants, "CNV").flatMap(k =>
+        ("CNV", k.s, 1) ::
+          (if (k.s == "DELETION") List(("CNV_EXON", "DELETION", 4)) else Nil))
+    case _ =>
+      Nomenclature.getExpressionStrings(p.geneKey, p.logfc)
+        .map(s => ("EXPR", s, 1))
+  }
+
   /** The tier-resolution kernel for one turn against the broadcast
     * index — pure function, zero shuffle (reference kernels:
     * match.py:552-679 SNV/CNV, match.py:682-747 EXPR).
     */
   def annotateTurn(t: Turn, idx: DimIndex): Annotation = {
     val p = parse(t)
-    val keys: List[Nomenclature.MatchKey] = p.dataType match {
-      case "SNV" =>
-        Nomenclature.inputMatchStrings(p.variants, "SNV", p.impacts, p.exons)
-      case "CNV" => Nomenclature.inputMatchStrings(p.variants, "CNV")
-      case _ => Nomenclature.getExpressionStrings(p.geneKey, p.logfc)
-        .map(s => Nomenclature.MatchKey(s, isExact = true, isTrueExact = true))
-    }
 
     idx.genes.get(p.geneKey) match {
       case None =>
@@ -162,19 +176,11 @@ object MatchKernel {
         @inline def mark(ps: Array[Int], bit: Int): Unit = {
           var i = 0; while (i < ps.length) { flags(ps(i)) |= bit; i += 1 }
         }
-        p.dataType match {
-          case "SNV" =>
-            for (k <- keys; ps <- gd.snvIndex.get(k.s))
-              mark(ps, if (k.isExact) { if (k.isTrueExact) 1 else 2 } else 4)
-          case "CNV" =>
-            for (k <- keys) {
-              gd.cnvIndex.get(k.s).foreach(mark(_, 1))
-              // input DELETION also positionally matches exon-CNV
-              // records (match.py:627-638)
-              if (k.s == "DELETION") mark(gd.exonCnvPositions, 4)
-            }
-          case _ =>
-            for (k <- keys; ps <- gd.exprIndex.get(k.s)) mark(ps, 1)
+        for ((domain, s, bit) <- keyBits(p)) domain match {
+          case "SNV" => gd.snvIndex.get(s).foreach(mark(_, bit))
+          case "CNV" => gd.cnvIndex.get(s).foreach(mark(_, bit))
+          case "CNV_EXON" => mark(gd.exonCnvPositions, bit)
+          case _ => gd.exprIndex.get(s).foreach(mark(_, bit))
         }
         // general-variant promotion: first (scan-order) general bucket
         // wins the positional tier (match.py:644-652)
