@@ -108,8 +108,30 @@ object Components {
     * result fail with "Checkpoint block not found". Long-lived
     * harnesses consume each result, then call `releaseAll()` between
     * queries.
+    *
+    * SKEW: window functions have no map-side partial aggregation —
+    * every row of a partition key sorts into ONE task, and CC *grows*
+    * hubs by design (a converging component's min node carries the
+    * whole component's edges). Nodes whose per-round symmetric degree
+    * exceeds the skew cut are therefore routed through a
+    * partial-aggregated min + broadcast-join path while the uniform
+    * bulk keeps the one-exchange window formulation; round outputs
+    * are identical either way (ComponentsSpec pins equality), so
+    * rounds and convergence are unchanged.
+    *
+    * The default cut (`hotDegreeThreshold` = -1) is ADAPTIVE:
+    * max(2^17, 4·|E|/P) with |E| the round's edge count (already
+    * known from the convergence checksum) and P the shuffle
+    * parallelism — a key below a few tasks' average row volume sorts
+    * inside normal stage latency and is CHEAPER on the window path
+    * (measured: a 1M-degree hub in a 16M-node graph at 32 cores costs
+    * nothing un-routed), while a key spanning many tasks' volume
+    * serializes the stage and must be routed. An explicit positive
+    * value fixes the cut exactly (tests/benches); 0 disables routing;
+    * env `GRAFT_CC_HOT` overrides the parameter.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          hotDegreeThreshold: Long = -1L): DataFrame = {
     // Iterative DataFrame loops grow the logical plan geometrically
     // (every round re-embeds the previous round's plan twice — the
     // aggregation side and the join side) and Catalyst re-analyzes the
@@ -154,12 +176,21 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()))
     val useSHJ = sys.env.get("GRAFT_CC_SHJ").contains("1")
+    val hotThreshold =
+      sys.env.get("GRAFT_CC_HOT").map(_.toLong).getOrElse(hotDegreeThreshold)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // one skew probe per round on the round's INPUT: its symmetric
+      // degrees bound the per-key row counts of BOTH star passes
+      // (large-star partitions sym by u; small-star's u-side degree is
+      // at most the node's sym degree)
+      val hot =
+        if (useSHJ) Nil
+        else timed(s"probe$it")(roundHotKeys(edges, hotThreshold, chk._1))
       val (nextRdd, next, nextChk) = timed(s"round$it")(materialize(
         if (useSHJ) smallStarSHJ(largeStarSHJ(edges))
-        else smallStar(largeStar(edges))))
+        else smallStarHybrid(largeStarHybrid(edges, hot), hot)))
       edgesRdd.unpersist(false) // safe: `next` is materialized (checksummed)
       edgesRdd = nextRdd
       edges = next
@@ -185,6 +216,98 @@ object Components {
   /** One alternating round (exposed for plan probing). */
   private[graft] def oneRound(edges: DataFrame): DataFrame =
     smallStar(largeStar(edges))
+
+  /** Collected hot set is capped: keys beyond the cap stay on the
+    * window path (graceful degradation, never an error).
+    */
+  private val MaxHotKeys = 4096
+
+  /** Per-round skew probe: nodes whose symmetric degree in `edges`
+    * exceeds the adaptive cut max(`threshold`, 4·edgeCount/P) — see
+    * the `connectedComponents` scaladoc for why the cut tracks
+    * per-task row volume. For large cuts the degree is estimated from
+    * a 1/256 deterministic hash sample of the edge rows (at half-cut,
+    * so sampling noise errs toward flagging) — the probe then scans
+    * 0.4% of the rows and shuffles a tiny count relation; small cuts
+    * (tests) count exactly. Mis-flagging a borderline key is
+    * harmless: both routes compute identical mins, only the physical
+    * plan differs.
+    */
+  private[graft] def roundHotKeys(edges: DataFrame, threshold: Long,
+                                  edgeCount: Long = 0L): Seq[Any] = {
+    if (threshold == 0) return Nil
+    val effective =
+      if (threshold > 0) threshold
+      else {
+        val parallelism = edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toLong.max(1L)
+        (1L << 17).max(4L * edgeCount / parallelism)
+      }
+    val (base, cut) =
+      if (effective >= (1L << 16))
+        (edges.filter(pmod(xxhash64(col("u"), col("v")), lit(256)) === 0),
+          effective >> 9)
+      else (edges, effective)
+    base.select(col("u").as("n"))
+      .unionByName(base.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") > cut)
+      .orderBy(col("_d").desc)
+      .limit(MaxHotKeys)
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** Large-star with hot keys routed around the window: hot rows get
+    * their neighborhood minimum from a partial-aggregated (map-side
+    * combined) min broadcast back onto them — no sort task ever holds
+    * a hot node's whole edge list. Emits the same multiset as
+    * `largeStar`.
+    */
+  private[graft] def largeStarHybrid(edges: DataFrame, hot: Seq[Any]): DataFrame = {
+    if (hot.isEmpty) return largeStar(edges)
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val isHot = col("u").isInCollection(hot)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val cold = sym.filter(!isHot)
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val hotRows = sym.filter(isHot)
+    val mins = hotRows.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+    val hotOut = hotRows.join(broadcast(mins), Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("_m").as("v"))
+    cold.unionByName(hotOut)
+  }
+
+  /** Small-star with the same hot-key routing; the hot path emits the
+    * relinked edges plus the one (u, min) self edge per hot u exactly
+    * as the window form's row_number branch does. Emits the same SET
+    * as `smallStar` (one distinct canonicalizes the round).
+    */
+  private[graft] def smallStarHybrid(edges: DataFrame, hot: Seq[Any]): DataFrame = {
+    if (hot.isEmpty) return smallStar(edges)
+    val isHot = col("u").isInCollection(hot)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val relink = struct(col("v").as("u"), col("m").as("v"))
+    val self = struct(col("u"), col("m").as("v"))
+    val cold = edges.filter(!isHot)
+      .withColumn("m", min(col("v")).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .select(explode(when(col("rn") === 1, array(relink, self))
+        .otherwise(array(relink))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val hotRows = edges.filter(isHot)
+    val mins = hotRows.groupBy(col("u")).agg(min(col("v")).as("_m"))
+    val hotOut = hotRows.join(broadcast(mins), Seq("u"))
+      .select(col("v").as("u"), col("_m").as("v"))
+      .unionByName(mins.select(col("u"), col("_m").as("v")))
+    cold.unionByName(hotOut)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
 
   // A/B-measured alternative (GRAFT_CC_SHJ=1): hash-join round
   // formulation — no sorts, forced ShuffledHashJoin so the

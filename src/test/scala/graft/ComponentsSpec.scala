@@ -70,6 +70,59 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid star passes emit the same edge set as the window forms") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val pairs = Seq.fill(150)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val edges = pairsDf(pairs)
+        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .distinct()
+      // force EVERY key hot (threshold 0 via an explicit probe at 1)
+      val hot = Components.roundHotKeys(edges, 1L)
+      assert(hot.nonEmpty, "probe found no hot keys at threshold 1")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(canon(Components.smallStarHybrid(
+          Components.largeStarHybrid(edges, hot), hot)) ==
+        canon(Components.smallStar(Components.largeStar(edges))),
+        s"trial $trial: hybrid round diverged from window round")
+      // partial hot set too (only some keys routed)
+      val some = hot.take(hot.size / 2)
+      if (some.nonEmpty)
+        assert(canon(Components.smallStarHybrid(
+            Components.largeStarHybrid(edges, some), some)) ==
+          canon(Components.smallStar(Components.largeStar(edges))),
+          s"trial $trial: partial-hot round diverged")
+    }
+  }
+
+  test("skew-routed connectedComponents matches union-find (forced threshold + planted hub)") {
+    val rnd = new scala.util.Random(11)
+    // random graph with every-key-hot routing
+    for (trial <- 0 until 3) {
+      val pairs = Seq.fill(120)(
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2)
+      val got = Components.connectedComponents(pairsDf(pairs),
+          hotDegreeThreshold = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteCc(pairs), s"trial $trial diverged under forced hot routing")
+    }
+    // planted hub: one node linked to 500 others plus chain debris —
+    // the hub is genuinely hot at threshold 64
+    val hub = (1L to 500L).map(i => (1000000L, 1000000L + i))
+    val chains = (0L until 99L).map(i => (i, i + 1))
+    val all = hub ++ chains
+    val got = Components.connectedComponents(pairsDf(all),
+        hotDegreeThreshold = 64L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteCc(all), "planted-hub graph diverged")
+    assert(got(1000000L + 500L) == 1000000L)
+  }
+
   test("componentsForDocs covers untouched docs as singletons") {
     import spark.implicits._
     val docs = (0L until 10L).toDF("doc_id")
