@@ -48,7 +48,19 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // control-normalized ratios: q14 is untouched across rounds and
+    // shares the banding/cap/join shape of the heavy queries, so
+    // per-query time / q14 time separates real regressions from the
+    // box's documented cross-hour VM drift (BENCH.md R4.1) without
+    // hand analysis
+    val control = "q14_minhash_neardup"
+    val ctrlSec = results.collectFirst {
+      case (k, v, None) if k == control => v }.getOrElse(0.0)
+    val ratios =
+      if (ctrlSec <= 0) "{}"
+      else results.map { case (k, v, _) =>
+        f""""$k":${v / ctrlSec}%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"control":"$control","control_sec":$ctrlSec,"ratios":$ratios,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
