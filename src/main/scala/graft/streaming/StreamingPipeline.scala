@@ -27,7 +27,18 @@ object StreamingPipeline {
       watermark: String = "10 minutes",
       sessionGapMs: Long = 30 * 60 * 1000L,
       tierWindow: String = "1 hour",
-      partitions: Int = 32)
+      partitions: Int = 32,
+      /** >1 adds a turn-hash salt to the explicit conv_id
+        * repartition: a hot conversation (10% of a batch on one
+        * conv_id) otherwise funnels into ONE post-shuffle partition
+        * and its task walls the kernel/sink stage. Salting trades
+        * per-conv physical locality (irrelevant to the map-only
+        * kernel and the _batch_id-partitioned sink) for balance; the
+        * dedup/session STATE keys are untouched — state partitioning
+        * is by full key and the automaton is inherently conv-keyed
+        * (SkewAgg scaladoc).
+        */
+      salts: Int = 1)
 
   /** Per-conversation session summary emitted by the automaton on
     * event-time session close (the streaming analog of the reference's
@@ -70,9 +81,17 @@ object StreamingPipeline {
       }
       .withWatermark("ts", cfg.watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
-      .repartition(cfg.partitions, col("conv_id"))
+      .repartition(cfg.partitions, partitionCols(cfg): _*)
       .as[Annotation]
   }
+
+  /** Explicit conv_id-hash repartition columns, salted when
+    * `cfg.salts` > 1 (hot-conversation balance; see StreamConfig).
+    */
+  private def partitionCols(cfg: StreamConfig) =
+    if (cfg.salts > 1)
+      Seq(col("conv_id"), pmod(hash(col("turn_idx")), lit(cfg.salts)))
+    else Seq(col("conv_id"))
 
   /** Broadcast-deref holder for UDF closures: `bc.value` inside a UDF
     * body would re-read the SoftReference-backed broadcast PER ROW
@@ -117,7 +136,7 @@ object StreamingPipeline {
     turns
       .withWatermark("ts", cfg.watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
-      .repartition(cfg.partitions, col("conv_id"))
+      .repartition(cfg.partitions, partitionCols(cfg): _*)
       .select(col("ts"), annUdf(col("conv_id"), col("turn_idx"), col("role"),
         col("ts"), col("text"), col("tool")).as("a"))
       // project the struct open but keep the ORIGINAL ts attribute —

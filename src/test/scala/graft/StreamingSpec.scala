@@ -287,6 +287,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).distinct.length == base)
   }
 
+  test("RocksDB dedup state survives a mid-stream kill and resumes exactly-once") {
+    import spark.implicits._
+    val turnCfg = Synth.TurnGenConfig(nConvs = 40, turnsPerConv = 5,
+      nGenes = 12, dupRate = 0.25)
+    val rows = Synth.transcriptRows(turnCfg)
+    val base = turnCfg.nConvs * turnCfg.turnsPerConv
+    val srcDir = tmp("rocksrc"); val ckpt = tmp("rocksckpt")
+    val sink = tmp("rocksink") + "/out"
+    rows.toDS().repartition(8).write.mode("overwrite").parquet(srcDir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
+
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir).as[Turn]
+      .withWatermark("ts", "3650 days") // nothing evicts: state = all keys
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .select(col("conv_id"), col("turn_idx"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // phase 1: kill the query mid-stream (after >=1 committed batch)
+      val q1 = start()
+      while (q1.isActive && Option(q1.lastProgress).isEmpty) Thread.sleep(10)
+      q1.stop()
+      // phase 2: same checkpoint, run to completion
+      val q2 = start()
+      q2.awaitTermination()
+      assert(q2.recentProgress.nonEmpty, "resume processed no batches")
+      // the sink read honors _spark_metadata: a replayed batch would
+      // surface as dupes, a dropped one as loss
+      val got = spark.read.parquet(sink).select("conv_id", "turn_idx").collect()
+      assert(got.length == base, s"expected $base rows, got ${got.length}")
+      assert(got.map(_.toString).distinct.length == base, "duplicate keys in sink")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("session automaton closes sessions on event-time gap") {
     import spark.implicits._
     val t0 = 1700000000000L
