@@ -126,6 +126,32 @@ object Reports {
       }
   }
 
+  /** SHUFFLE-regime dual of `reprocessAcross`: the coarser-grouping
+    * consensus vote re-derived from `DimShuffle.supportTable` joins
+    * instead of the broadcast index's per-variant count vectors — for
+    * the regime where no broadcast index exists at all (the
+    * `MatchShuffle` path). Output is the identical sorted list
+    * (parity pinned in DimShuffleSpec); the collect is the final
+    * (drug, ct)-vocabulary-bounded aggregate only, exactly like the
+    * broadcast form's.
+    */
+  def reprocessAcrossDist(ann: Dataset[Annotation], support: DataFrame): Seq[String] = {
+    val rankUdf = ctRankUdf
+    explodeMatches(ann)
+      .join(support, Seq("gene_key", "var_id"))
+      .groupBy(col("drug"), col("ct"))
+      .agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"),
+        sum(col("unk_b")).as("ub"), sum(col("unk_d")).as("ud"))
+      .collect()
+      .map { r =>
+        val (p, n, ub, ud) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        val prefix = s"${r.getString(0)}:${r.getString(1).toUpperCase}:"
+        prefix -> (prefix +
+          graft.functions.Nomenclature.consensus(p, n, ub, ud) +
+          s":$p|$n|$ub|$ud")
+      }.toSeq.sortBy(_._1).map(_._2) // the broadcast form's prefix order
+  }
+
   /** W3: per-line best-annotation prioritization for multi-annotation
     * inputs (Query_CIViCutils.py:285-338): highest tier first, then
     * most matched ids, then first-encountered annotation.

@@ -138,6 +138,17 @@ class DimShuffleSpec extends AnyFunSuite {
     assert(under == want)
   }
 
+  test("shuffle reprocess-across equals the broadcast coarse consensus") {
+    val bcIdx = spark.sparkContext.broadcast(
+      DimIndex.build(spark, dim, Pipeline.defaultCt))
+    val ann = MatchKernel.annotate(turns, bcIdx)
+    val want = Reports.reprocessAcross(ann, bcIdx)
+    assert(want.nonEmpty)
+    val got = Reports.reprocessAcrossDist(ann,
+      DimShuffle.supportTable(dim, Pipeline.defaultCt))
+    assert(got == want)
+  }
+
   test("shuffle writeMatchTable equals the broadcast table row-for-row") {
     val bcIdx = spark.sparkContext.broadcast(
       DimIndex.build(spark, dim, Pipeline.defaultCt))

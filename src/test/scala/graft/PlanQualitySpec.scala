@@ -286,6 +286,59 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM derives bigrams map-only: no window, no self-join, equi-joins only") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d"), (1L, "b c x")).toDF("doc_id", "text")
+    val plan = operators.Relevance.bigramLmScoreQuantized(docs, docs,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bigram LM degraded to a non-equi join:\n$plan")
+    // the (w_i, w_i+1) pairing must come from the zipped array slices,
+    // never a positional self-join or a window sort over the corpus
+    assert(!plan.contains("Window"), s"bigram pairing used a window:\n$plan")
+  }
+
+  test("full-shuffle match path: equi-joins only, bounded-payload exchanges") {
+    import spark.implicits._
+    val dim = graft.sources.Synth.evidenceDim(spark, 12, 42L).toDF()
+    val turns = graft.sources.Synth.transcripts(spark,
+      graft.sources.Synth.TurnGenConfig(nConvs = 5, turnsPerConv = 6, nGenes = 12))
+    val plan = operators.MatchShuffle.annotate(spark, turns, dim,
+      Pipeline.defaultCt).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"full-shuffle match degraded to a non-equi join:\n$plan")
+    operators.NearDup.unpersistAll()
+  }
+
+  test("hybrid star round: hot mins broadcast tiny, cold bulk stays one window pass") {
+    import spark.implicits._
+    val edges = Seq((3L, 1L), (5L, 2L), (7L, 1L), (9L, 1L)).toDF("u", "v")
+    def hashExchanges(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    val hot = Seq[Any](1L)
+    val lp = operators.Components.largeStarHybrid(edges, hot)
+      .queryExecution.executedPlan.toString
+    // cold window (1) + hot partial-agg min (1); the broadcast is the
+    // HOT-KEY-COUNT-sized mins relation — never the node-count mins
+    // the pre-r4 aggregate-join form shipped
+    assert(hashExchanges(lp) == 2,
+      s"hybrid large-star must be cold-window + hot-min exchanges:\n$lp")
+    assert(lp.contains("BroadcastHashJoin"),
+      s"hot mins must re-attach via broadcast hash join:\n$lp")
+    // and with NO hot keys the plan is identical to the plain form
+    // (modulo expression/plan ids)
+    def norm(p: String) = p.replaceAll("#\\d+", "#_")
+      .replaceAll("plan_id=\\d+", "plan_id=_")
+    val plain = operators.Components.largeStar(edges)
+      .queryExecution.executedPlan.toString
+    val empty = operators.Components.largeStarHybrid(edges, Nil)
+      .queryExecution.executedPlan.toString
+    assert(norm(empty) == norm(plain),
+      "empty hot set must take the plain window path")
+  }
+
   test("deterministic sampling is pure map work: no shuffle anywhere") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for ((name, df) <- Seq(
