@@ -46,9 +46,20 @@ object MatchShuffle {
 
   // encoder-visible (Catalyst's generated [de]serializers cannot
   // access private classes), internal to the operator in spirit
-  final case class VariantMeta(
+  final case class VariantRaw(
       gene_key: String, var_id: String, var_name: String,
       hgvs: Seq[String], pos: Int)
+
+  /** Variant record with its derived index entries — the regex-heavy
+    * `variantIndexEntries` derivation runs ONCE per variant into the
+    * persisted relation; the string explode and the flag/fallback
+    * tables below are cheap re-reads of the stored arrays.
+    */
+  final case class VariantMeta(
+      gene_key: String, var_id: String, var_name: String, pos: Int,
+      snv_strings: Seq[String], expr_strings: Seq[String],
+      is_general: Boolean, is_cnv: Boolean, is_expr: Boolean,
+      is_exon_cnv: Boolean)
 
   final case class ParsedTurn(
       conv_id: String, turn_idx: Int, role: String, ts: Timestamp,
@@ -87,23 +98,27 @@ object MatchShuffle {
       .withColumn("pos", (row_number().over(wGene) - 1).cast("int"))
       .select(col("gene_key"), col("var_id"), col("var_name"),
         col("hgvs"), col("pos"))
-      .as[VariantMeta])
+      .as[VariantRaw]
+      .map { v =>
+        val e = DimIndex.variantIndexEntries(v.var_name, v.hgvs)
+        VariantMeta(v.gene_key, v.var_id, v.var_name, v.pos,
+          e.snvStrings, e.exprStrings, e.isGeneral,
+          e.isCnvRecord, e.isExprRecord, e.isExonCnv)
+      })
 
     // 2. dimension-side index entries, exploded to joinable rows —
     //    the same variantIndexEntries the broadcast build consumes
     val dimEntries = varMeta.flatMap { v =>
-      val e = DimIndex.variantIndexEntries(v.var_name, v.hgvs)
-      e.snvStrings.map(s => (v.gene_key, "SNV", s, v.pos)) ++
+      v.snv_strings.map(s => (v.gene_key, "SNV", s, v.pos)) ++
         Seq((v.gene_key, "CNV", v.var_name, v.pos)) ++
-        e.exprStrings.map(s => (v.gene_key, "EXPR", s, v.pos)) ++
-        (if (e.isExonCnv) Seq((v.gene_key, "CNV_EXON", "DELETION", v.pos)) else Nil)
+        v.expr_strings.map(s => (v.gene_key, "EXPR", s, v.pos)) ++
+        (if (v.is_exon_cnv) Seq((v.gene_key, "CNV_EXON", "DELETION", v.pos)) else Nil)
     }.toDF("gene_key", "domain", "s", "pos")
 
     // per-variant flags / per-(gene, domain) fallback lists
-    val varFlags = varMeta.map { v =>
-      val e = DimIndex.variantIndexEntries(v.var_name, v.hgvs)
-      (v.gene_key, v.pos, v.var_id, e.isGeneral, e.isCnvRecord, e.isExprRecord)
-    }.toDF("gene_key", "pos", "var_id", "is_general", "_is_cnv", "_is_expr")
+    val varFlags = varMeta.toDF()
+      .select(col("gene_key"), col("pos"), col("var_id"), col("is_general"),
+        col("is_cnv").as("_is_cnv"), col("is_expr").as("_is_expr"))
     val fallback = varFlags.select(col("gene_key"), col("pos"), col("var_id"),
         explode(concat(
           when(!col("_is_cnv") && !col("_is_expr"), array(lit("SNV")))
