@@ -56,9 +56,11 @@ object Bench {
     val control = "q14_minhash_neardup"
     val ctrlSec = results.collectFirst {
       case (k, v, None) if k == control => v }.getOrElse(0.0)
+    // errored queries are excluded: their elapsed-to-failure time
+    // would masquerade as a dramatic speedup in the ratio map
     val ratios =
       if (ctrlSec <= 0) "{}"
-      else results.map { case (k, v, _) =>
+      else results.collect { case (k, v, None) =>
         f""""$k":${v / ctrlSec}%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"control":"$control","control_sec":$ctrlSec,"ratios":$ratios,"sf":"$sfDir"}""")
     spark.stop()

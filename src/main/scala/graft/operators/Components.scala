@@ -127,8 +127,10 @@ object Components {
     * (measured: a 1M-degree hub in a 16M-node graph at 32 cores costs
     * nothing un-routed), while a key spanning many tasks' volume
     * serializes the stage and must be routed. An explicit positive
-    * value fixes the cut exactly (tests/benches); 0 disables routing;
-    * env `GRAFT_CC_HOT` overrides the parameter.
+    * value fixes the cut (tests/benches — degrees are still ESTIMATED
+    * by the 1/256 sample once the cut exceeds 2^16, so routing above
+    * that is approximate by design); 0 disables routing; env
+    * `GRAFT_CC_HOT` overrides the parameter.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           hotDegreeThreshold: Long = -1L): DataFrame = {
@@ -243,6 +245,11 @@ object Components {
           .get("spark.sql.shuffle.partitions", "200").toLong.max(1L)
         (1L << 17).max(4L * edgeCount / parallelism)
       }
+    // driver-side early-out: a node's symmetric degree is bounded by
+    // the edge count, so when the round's known |E| cannot clear the
+    // cut no probe job needs to run at all — small/medium graphs pay
+    // nothing for the skew guard
+    if (edgeCount > 0 && edgeCount <= effective) return Nil
     val (base, cut) =
       if (effective >= (1L << 16))
         (edges.filter(pmod(xxhash64(col("u"), col("v")), lit(256)) === 0),

@@ -57,8 +57,8 @@ object DimShuffle {
     *     as distributed joins, nothing collected anywhere.
     *
     * Each threshold probe is a `limit(n+1).count()` early-out, not a
-    * full scan (regimes 1 and 2 never pay the second probe... regime 1
-    * pays only the first).
+    * full scan; regime 1 pays only the first probe, regimes 2 and 3
+    * pay both.
     */
   def annotateAuto(spark: org.apache.spark.sql.SparkSession,
                    turns: Dataset[graft.model.Turn], dim: DataFrame,

@@ -69,6 +69,14 @@ object MatchShuffle {
   /** Tier annotation via distributed joins; `ds_tier_*` re-derived by
     * `DimShuffle.consensusAnnotate` (the same shuffle consensus the
     * over-broadcast-threshold regime already uses).
+    *
+    * PRECONDITION: `turns` must be unique per (conv_id, turn_idx) —
+    * the transcript table's primary key (it is what the exactly-once
+    * sink and the streaming dedup key on). Matched hits aggregate on
+    * that key, so duplicate-key rows would have their hits MERGED,
+    * where the broadcast kernel annotates every physical row
+    * independently; on key-unique input the two regimes are
+    * row-for-row identical (MatchShuffleSpec).
     */
   def annotate(spark: SparkSession, turns: Dataset[Turn], dim: DataFrame,
                ctCfg: CtConfig,

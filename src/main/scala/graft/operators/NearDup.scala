@@ -68,18 +68,22 @@ object NearDup {
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
-              durationNs: Long): Unit =
-            qe.observedMetrics.collect {
+              durationNs: Long): Unit = {
+            val rows = qe.observedMetrics.collect {
               case (name, row) if name.startsWith(CapMetricPrefix) => row
-            }.foreach { row =>
-              val dropped = row.getLong(0)
-              lastCapDroppedVar = dropped
-              if (dropped > 0)
+            }
+            if (rows.nonEmpty) {
+              // SUM across the plan's capped observations: a composed
+              // query with two capped relations must not let a
+              // zero-drop observation overwrite a real drop count
+              lastCapDroppedVar = rows.map(_.getLong(0)).sum
+              for (row <- rows if row.getLong(0) > 0)
                 org.apache.log4j.Logger.getLogger(NearDup.getClass).warn(
-                  s"jaccardNearDups cap DROPPED $dropped hot shingle(s) " +
+                  s"jaccardNearDups cap DROPPED ${row.getLong(0)} hot shingle(s) " +
                     s"(of ${row.getLong(1)} distinct): result is exact " +
                     "Jaccard over the retained vocabulary, not the full one")
             }
+          }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               exception: Exception): Unit = ()

@@ -136,7 +136,6 @@ object Reports {
     * broadcast form's.
     */
   def reprocessAcrossDist(ann: Dataset[Annotation], support: DataFrame): Seq[String] = {
-    val rankUdf = ctRankUdf
     explodeMatches(ann)
       .join(support, Seq("gene_key", "var_id"))
       .groupBy(col("drug"), col("ct"))
@@ -213,9 +212,17 @@ object Reports {
     val ctSel = CtClassifier.select(CtClassifier.annotate(dim, ctCfg), selectCt)
       .filter(col("evidence_type") === "PREDICTIVE")
       .withColumn("_rank", ctRankUdf(col("ct")))
-      .withColumn("_ev", concat(col("direction"), lit(":"), col("significance"),
-        lit("("), col("level"), lit("("), col("source_type"), lit("_"),
-        col("source_id"), lit("))")))
+      // null fields render as the literal "null", exactly like the
+      // driver regime's string interpolation — a bare concat would
+      // null-propagate and concat_ws would then silently DROP the
+      // whole leaf, breaking broadcast-vs-shuffle report parity on
+      // dimensions with absent fields (CSV reads empties as null)
+      .withColumn("_ev", concat(
+        coalesce(col("direction"), lit("null")), lit(":"),
+        coalesce(col("significance"), lit("null")), lit("("),
+        coalesce(col("level"), lit("null")), lit("("),
+        coalesce(col("source_type"), lit("null")), lit("_"),
+        coalesce(col("source_id"), lit("null")), lit("))")))
     // per (variant, ct, disease, drug): leaves ordered by dim_order
     // (ct-rank is constant within the triple); the triple's first-seen
     // position in the (rank, dim_order)-sorted walk is min(rank,

@@ -166,6 +166,13 @@ object TsvReader {
   /** S1: SNV reader. Required: gene/dna/prot; optional impact/exon;
     * extra columns carried through in an `extras` array. Emits the
     * reference's encoded variant key for parity-visible joins.
+    *
+    * KEY SCOPE: this reader (and readCnvs/readExpr) keeps the
+    * reference's exact key format, whose `n_line` component is
+    * per-file — `variant_key` is therefore unique WITHIN one input
+    * file only. Directory/multi-file ingestion should go through
+    * `readSnvsSplittable`, which file-qualifies the key (and scales
+    * past the one-task-per-file window this reader uses).
     */
   def readSnvs(spark: SparkSession, path: String,
                geneName: String = "Gene",
@@ -176,9 +183,10 @@ object TsvReader {
     snvsFrom(withLineNumbers(readTsv(spark, path)),
       geneName, dnaName, protName, impactName, exonName)
 
-  /** S1 over the splittable scan: same output contract as `readSnvs`,
-    * line numbers from the split-invariant byte-offset numbering — the
-    * reader for the one-huge-TSV regime.
+  /** S1 over the splittable scan: `readSnvs`'s output contract for
+    * single-file input (bit-for-bit parity pinned in OperatorsSpec),
+    * line numbers from the split-invariant byte-offset numbering —
+    * the reader for the one-huge-TSV and many-file regimes.
     *
     * Multi-file (directory/glob) inputs number each file from 0, so
     * the reference-format `variant_key` (payload + n_line) alone is no

@@ -138,6 +138,41 @@ class DimShuffleSpec extends AnyFunSuite {
     assert(under == want)
   }
 
+  test("pred-entries parity holds on null evidence fields (render as 'null')") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{struct, col}
+    // CSV-style dimension rows where optional fields came in as null:
+    // the driver regime interpolates "null"; the distributed concat
+    // must coalesce, not null-propagate (which would DROP the leaf)
+    def row(varId: String, sig: String, level: String, order: Long) =
+      graft.model.EvidenceRow(gene_key = "G1", var_id = varId,
+        var_name = "V600E", hgvs = Seq("NP_1:p.V600E"),
+        var_types = Seq("missense"), dim_order = order, mp_id = s"$varId-0",
+        mp_name = "G1 V600E", civic_score = 1.0, n_evidence_items = 1,
+        evidence_type = "PREDICTIVE", disease = "bladder cancer",
+        drug = "DRUGA", direction = "SUPPORTS", significance = sig,
+        level = level, source_type = "PUBMED", source_id = "1",
+        evidence_status = "ACCEPTED", source_status = "ACCEPTED",
+        variant_origin = "SOMATIC", rating = Some(4.0))
+    val d = Seq(row("1", null, "A", 0L), row("1", "SENSITIVITYRESPONSE", null, 1L))
+      .toDS().toDF()
+    val collected = CtClassifier.select(
+        CtClassifier.annotate(d, Pipeline.defaultCt), Left("highest"))
+      .select(struct(d.columns.toIndexedSeq.map(col): _*).as("_1"),
+        col("ct").as("_2"))
+      .as[(graft.model.EvidenceRow, String)].collect().toSeq
+    val want = Reports.buildPredEntries(collected)
+    val got = Reports.predEntriesTable(d, Pipeline.defaultCt).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        Reports.PredEntry(r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5), r.getInt(6))))
+      .groupBy(_._1)
+      .map { case (k, es) => k -> es.map(_._2).sortBy(_.entryIdx).toList }
+    assert(got == want)
+    assert(want.values.flatten.exists(_.evidence.contains("null")),
+      "fixture failed to exercise a null field")
+  }
+
   test("shuffle reprocess-across equals the broadcast coarse consensus") {
     val bcIdx = spark.sparkContext.broadcast(
       DimIndex.build(spark, dim, Pipeline.defaultCt))
