@@ -228,7 +228,9 @@ object SparkEntry {
     "video_frames" -> ((s, _) => videoFrames(s)),
     "renders" -> ((s, _) => rendersDF(s)),
     "pred_entries" -> ((s, _) => predEntriesDF(s)),
-    "var_names" -> ((s, _) => varNamesDF(s)))
+    "var_names" -> ((s, _) => varNamesDF(s)),
+    "support_table" -> ((s, _) => operators.DimShuffle.supportTable(
+      defaultFilteredDim(s), Pipeline.defaultCt)))
 
   /** Flagship: full match->annotate pipeline over synthesized
     * transcripts (driver smoke-checks rows>0).
@@ -882,6 +884,21 @@ object SparkEntry {
       operators.Reports.drugTargetsAuto(s,
         Pipeline.run(s).as[operators.Annotation], defaultFilteredDim(s),
         Pipeline.defaultCt, maxBroadcastRows = 10)
+    }),
+    "q67_reprocess" -> ((s, _) => {
+      import s.implicits._
+      // A2 coarse consensus across all annotated rows, via the
+      // SHUFFLE dual (supportTable joins — no broadcast index); the
+      // oracle re-derives every vote from the dumped annotation +
+      // support relations, including the CASE-expressible majority
+      // rule, so the report is value-checked cross-engine for the
+      // first time (it was tests/parity-only before)
+      operators.Reports.reprocessAcrossDist(
+          Pipeline.run(s).as[operators.Annotation],
+          operators.DimShuffle.supportTable(defaultFilteredDim(s),
+            Pipeline.defaultCt))
+        .toDF("entry")
+        .orderBy(col("entry"))
     }),
     "q66_match_shuffle" -> ((s, _) => {
       // FULL-shuffle regime: even the match-string index is too large
@@ -1685,6 +1702,30 @@ object SparkEntry {
            FROM ann WHERE tier_4)
          SELECT * FROM rows1 UNION ALL SELECT * FROM rows4
          ORDER BY conv_id, turn_idx, tier""",
+    "q67_reprocess" ->
+      s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
+         sup AS (SELECT * FROM ${rel("support_table")}),
+         tiers AS (
+           SELECT gene_key, tier_1 AS matched FROM ann
+           UNION ALL SELECT gene_key, tier_1b FROM ann
+           UNION ALL SELECT gene_key, tier_2 FROM ann
+           UNION ALL SELECT gene_key, tier_3 FROM ann),
+         ex AS (SELECT gene_key, unnest(matched) AS var_id FROM tiers),
+         fil AS (SELECT * FROM ex WHERE upper(var_id) NOT IN
+             ('NON_SNV_MATCH_ONLY', 'NON_CNV_MATCH_ONLY', 'NON_EXPR_MATCH_ONLY')),
+         agg AS (SELECT s.drug, upper(s.ct) AS ct,
+             CAST(sum(s.pos) AS BIGINT) AS p, CAST(sum(s.neg) AS BIGINT) AS n,
+             CAST(sum(s.unk_b) AS BIGINT) AS ub, CAST(sum(s.unk_d) AS BIGINT) AS ud
+           FROM fil f JOIN sup s
+             ON s.gene_key = f.gene_key AND s.var_id = f.var_id
+           GROUP BY 1, 2)
+         SELECT drug || ':' || ct || ':' ||
+           CASE WHEN ub + ud > p AND ub + ud > n THEN 'CIVIC_UNKNOWN'
+                WHEN p = n THEN 'CIVIC_CONFLICT'
+                WHEN p > n AND p >= ub + ud THEN 'CIVIC_SUPPORT'
+                ELSE 'CIVIC_RESISTANCE' END ||
+           ':' || p || '|' || n || '|' || ub || '|' || ud AS entry
+         FROM agg ORDER BY 1""",
     "q24_drug_targets" ->
       s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
          pred AS (SELECT * FROM ${rel("pred_entries")}),
