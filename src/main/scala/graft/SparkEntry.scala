@@ -885,6 +885,63 @@ object SparkEntry {
         Pipeline.run(s).as[operators.Annotation], defaultFilteredDim(s),
         Pipeline.defaultCt, maxBroadcastRows = 10)
     }),
+    "q68_gopher_rules" -> ((s, dir) => {
+      // the published Gopher document-quality rules as named columns +
+      // the composed keep verdict; planted violators exercise every
+      // rule boundary (symbol spam, ellipsis lines, bullet lines,
+      // too-short) since the synthetic corpus is uniformly clean
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 4200000L).as("doc_id"),
+            concat(col("text"), lit(" ## ### #### # ## ###")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 4300000L).as("doc_id"),
+            regexp_replace(col("text"), lit(" "), lit("...\n")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 4400000L).as("doc_id"),
+            regexp_replace(col("text"), lit(" "), lit("\n- ")).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 4500000L).as("doc_id"),
+            lit("to of and the short").as("text")))
+      ev.select(col("doc_id") +:
+          operators.TextOps.gopherRules(col("text"))
+            .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q69_para_dedup" -> ((s, dir) => {
+      // paragraph-level exact dedup: a shared boilerplate footer and a
+      // within-doc repeated paragraph are planted on every doc — the
+      // footer survives only at its first (doc, pos) arrival, the
+      // in-doc repeat is dropped, and docs reassemble in order
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"),
+        concat(col("text"), lit("\n"), lit("BOILERPLATE FOOTER PARA"),
+          lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40)).as("text"))
+      operators.TextOps.dedupParagraphs(ev, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q70_cc_incremental" -> ((s, dir) => {
+      // INCREMENTAL connected components: base assignment from pairs
+      // wholly inside the first half of the id space, the remaining
+      // pairs folded in via the star-edge union — must equal the full
+      // recompute, so it shares q40's oracle (the count() is harness
+      // fixture-carving, not part of the operator)
+      val docs = t(s, dir, "documents")
+      val mid = docs.count() / 2
+      val pairs = jaccardPairs(s, dir)
+      val base = pairs.filter(col("doc_a") < mid && col("doc_b") < mid)
+      val inc = pairs.filter(!(col("doc_a") < mid && col("doc_b") < mid))
+      val baseAssign = operators.Components.connectedComponents(base)
+      val merged = operators.Components.incrementalComponents(baseAssign, inc)
+        .select(col("node").as("doc_id"), col("component"))
+      docs.select(col("doc_id"))
+        .join(merged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
     "q67_reprocess" -> ((s, _) => {
       import s.implicits._
       // A2 coarse consensus across all annotated rows, via the
@@ -963,7 +1020,8 @@ object SparkEntry {
     "q58_output_shuffle" -> oracleSqlBase("q23_output_table"),
     "q59_ann_shuffle" -> oracleSqlBase("q21_annotations"),
     "q64_drug_targets_shuffle" -> oracleSqlBase("q24_drug_targets"),
-    "q66_match_shuffle" -> oracleSqlBase("q21_annotations"))
+    "q66_match_shuffle" -> oracleSqlBase("q21_annotations"),
+    "q70_cc_incremental" -> oracleSqlBase("q40_neardup_components"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1702,6 +1760,73 @@ object SparkEntry {
            FROM ann WHERE tier_4)
          SELECT * FROM rows1 UNION ALL SELECT * FROM rows4
          ORDER BY conv_id, turn_idx, tier""",
+    "q68_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 4200000, text || ' ## ### #### # ## ###'
+             FROM documents WHERE doc_id < 30
+           UNION ALL SELECT doc_id + 4300000,
+             regexp_replace(text, ' ', '...' || chr(10), 'g')
+             FROM documents WHERE doc_id < 30
+           UNION ALL SELECT doc_id + 4400000,
+             regexp_replace(text, ' ', chr(10) || '- ', 'g')
+             FROM documents WHERE doc_id < 30
+           UNION ALL SELECT doc_id + 4500000, 'to of and the short'
+             FROM documents WHERE doc_id < 5),
+         f AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
+           FROM d),
+         g AS (SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_len,
+             CAST(n_sym AS DOUBLE) / greatest(len(toks), 1) AS sym_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+               AS DOUBLE) / greatest(len(lines), 1) AS bullet_frac,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+               AS DOUBLE) / greatest(len(lines), 1) AS ellipsis_frac,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS DOUBLE) / greatest(len(toks), 1) AS alpha_frac,
+             len(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with'])) AS n_stop
+           FROM f)
+         SELECT doc_id, n_words, round(mean_len, 4) AS mean_word_len_g,
+           round(sym_ratio, 4) AS symbol_ratio,
+           round(bullet_frac, 4) AS bullet_frac,
+           round(ellipsis_frac, 4) AS ellipsis_frac,
+           round(alpha_frac, 4) AS alpha_frac,
+           n_stop AS n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+             AND mean_len >= 3.0 AND mean_len <= 10.0
+             AND sym_ratio <= CAST(0.1 AS DOUBLE)
+             AND bullet_frac <= CAST(0.9 AS DOUBLE)
+             AND ellipsis_frac <= CAST(0.3 AS DOUBLE)
+             AND alpha_frac >= CAST(0.8 AS DOUBLE)
+             AND n_stop >= 2) AS gopher_keep
+         FROM g ORDER BY doc_id""",
+    "q69_para_dedup" ->
+      """WITH ev AS (SELECT doc_id,
+             text || chr(10) || 'BOILERPLATE FOOTER PARA' || chr(10)
+               || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) AS text
+           FROM documents),
+         p AS (SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             CAST(generate_subscripts(string_split(text, chr(10)), 1)
+               AS BIGINT) AS pos
+           FROM ev),
+         f AS (SELECT para,
+             min(doc_id * 1000000000 + pos) AS fk
+           FROM p GROUP BY 1),
+         k AS (SELECT p.doc_id, p.pos, p.para
+           FROM p JOIN f ON p.para = f.para
+             AND p.doc_id * 1000000000 + p.pos = f.fk),
+         r AS (SELECT doc_id,
+             string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+           FROM k GROUP BY 1)
+         SELECT e.doc_id, coalesce(r.text_dedup, '') AS text_dedup
+         FROM ev e LEFT JOIN r USING (doc_id) ORDER BY e.doc_id""",
     "q67_reprocess" ->
       s"""WITH ann AS (SELECT * FROM ${rel("annotations")}),
          sup AS (SELECT * FROM ${rel("support_table")}),

@@ -407,6 +407,30 @@ object Components {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** INCREMENTAL connected components: fold NEW pairs into an
+    * existing (node, component) assignment without recomputing the
+    * base graph — the companion of `NearDup.jaccardNearDupsAgainst`
+    * for a growing corpus. The base assignment is already a star
+    * forest (component = reachable minimum), so its non-root rows ARE
+    * edges that exactly preserve base connectivity; running the star
+    * rounds over (star edges ∪ new pairs) yields the same labels as a
+    * full recompute (q70 shares q40's oracle, ComponentsSpec pins it
+    * against union-find) while converging in few rounds because the
+    * base side is already collapsed. Nodes absent from both inputs
+    * (base singletons untouched by new pairs) are not in the result —
+    * compose with a `componentsForDocs`-style coalesce.
+    *
+    * Same result-lifetime contract as `connectedComponents`.
+    */
+  def incrementalComponents(assignment: DataFrame, newPairs: DataFrame,
+                            hotDegreeThreshold: Long = -1L): DataFrame = {
+    val starEdges = assignment.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_a"), col("component").as("doc_b"))
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col("doc_a"), col("doc_b"))),
+      hotDegreeThreshold = hotDegreeThreshold)
+  }
+
   /** Component id for EVERY document: docs in a near-dup pair get
     * their component minimum, untouched docs map to themselves.
     */

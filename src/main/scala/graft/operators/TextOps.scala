@@ -109,6 +109,102 @@ object TextOps {
     lenOk * stopOk * f("uniq_ratio") * (lit(1.0) - least(noise, lit(1.0)))
   }
 
+  /** The Gopher rule stop set (Rae et al. 2021, App. A1: "contains at
+    * least two of the following English words").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher document-quality rules (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", 2021, Appendix A1), as named per-document
+    * columns plus the composed `gopher_keep` verdict:
+    *
+    *  1. word count in [50, 100000]
+    *  2. mean word length in [3, 10]
+    *  3. symbol-to-word ratio ('#' or ellipsis per word) <= 0.1
+    *  4. fraction of lines starting with a bullet <= 0.9
+    *  5. fraction of lines ending with an ellipsis <= 0.3
+    *  6. fraction of words containing an alphabetic char >= 0.8
+    *  7. at least 2 distinct words from the Gopher stop set
+    *
+    * (The repetition rules of the same appendix live in
+    * `ngramRepStats`/q41.) Cross-engine exactness: every ratio is an
+    * IEEE quotient of exact integer counts compared against the same
+    * double literals, so `gopher_keep` is bit-identical across
+    * engines; displayed ratios are rounded, the VERDICT is computed
+    * on the raw quotients (the q38 rounding law).
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val meanLen =
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        greatest(nTok, lit(1))
+    val nSym = regexp_count(text, lit("#|\\.\\.\\.|…"))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gopherStopwords.map(lit): _*)))
+    val symRatio = nSym.cast("double") / greatest(nTok, lit(1))
+    val bulletFrac = nBullet.cast("double") / greatest(nLines, lit(1))
+    val ellipsisFrac = nEllipsis.cast("double") / greatest(nLines, lit(1))
+    val alphaFrac = nAlpha.cast("double") / greatest(nTok, lit(1))
+    Seq(
+      "n_words" -> nTok,
+      "mean_word_len_g" -> round(meanLen, 4),
+      "symbol_ratio" -> round(symRatio, 4),
+      "bullet_frac" -> round(bulletFrac, 4),
+      "ellipsis_frac" -> round(ellipsisFrac, 4),
+      "alpha_frac" -> round(alphaFrac, 4),
+      "n_stop_hits" -> nStop,
+      "gopher_keep" -> (nTok >= 50 && nTok <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && nStop >= 2))
+  }
+
+  /** Paragraph-level exact dedup (the Dolma/CCNet pass exact
+    * document-dedup misses): every paragraph seen before — across the
+    * whole corpus, first arrival = smallest (doc, position) — is
+    * removed, and documents are reassembled from their surviving
+    * paragraphs in order. The repeated-boilerplate (footer/header/
+    * cookie-banner) killer at crawl scale.
+    *
+    * Scale shape: paragraphs explode map-only; first-arrival is a
+    * partial-aggregated min over the 8-byte paragraph HASH (never a
+    * window — a boilerplate paragraph shared by 10^6 docs is exactly
+    * the hot key the CC work routes around, and min-aggregation is
+    * map-side combinable), and the reassembly groups by doc. Keying
+    * on xxhash64 trades a 2^-64 collision (two distinct paragraphs
+    * merging) for never shuffling paragraph text as a join key.
+    *
+    * Returns (idCol, text_dedup) for EVERY input document (a document
+    * whose every paragraph was seen before comes back empty).
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc"), posexplode(split(col(textCol), sep)))
+      .toDF("doc", "pos", "para")
+      .withColumn("h", xxhash64(col("para")))
+    val first = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc"), col("pos"))).as("f"))
+      .select(col("h"), col("f.doc").as("fdoc"), col("f.pos").as("fpos"))
+    val kept = paras.join(first, Seq("h"))
+      .filter(col("doc") === col("fdoc") && col("pos") === col("fpos"))
+      .groupBy(col("doc"))
+      .agg(concat_ws(sep, transform(
+        sort_array(collect_list(struct(col("pos"), col("para")))),
+        x => x.getField("para"))).as("text_dedup"))
+    docs.select(col(idCol))
+      .join(kept.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ---------------------------------------------------------------------
   // Benchmark decontamination (eval-set n-gram overlap)
   // ---------------------------------------------------------------------

@@ -123,6 +123,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(1000000L + 500L) == 1000000L)
   }
 
+  test("incremental components equal a full recompute on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 4) {
+      val pairs = Seq.fill(140)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      // base = pairs wholly under the split point; increment = rest
+      val split = 20 + trial * 10
+      val (base, inc) = pairs.partition(p => p._1 < split && p._2 < split)
+      val baseAssign = Components.connectedComponents(pairsDf(base))
+      val got = Components.incrementalComponents(baseAssign, pairsDf(inc))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = bruteCc(pairs)
+      // every paired node is reachable from the star edges or the
+      // increment, so the incremental result must equal the full
+      // recompute exactly
+      assert(got == want, s"trial $trial: incremental diverged from full CC")
+      Components.releaseAll()
+    }
+  }
+
   test("componentsForDocs covers untouched docs as singletons") {
     import spark.implicits._
     val docs = (0L until 10L).toDF("doc_id")

@@ -358,6 +358,51 @@ class DataOpsSpec extends AnyFunSuite {
       Multimodal.syntheticVideo(7), Multimodal.syntheticVideo(7)))
   }
 
+  test("Gopher rules: each rule fires on its crafted violator, clean prose passes") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"the cat sat and that dog went to bed $fifty"),  // clean: keep
+      (1L, "too short to have the length"),                  // word count
+      (2L, ("the of and " * 20) + ("# " * 20).trim),         // symbol ratio
+      (3L, ("the of and x " * 15).trim.replace(" ", "\n- ")),// bullet lines
+      (4L, ("the of and x " * 15).trim.replace(" ", "...\n")),// ellipsis lines
+      (5L, ("1 2 3 4 5 6 7 8 9 0 " * 6) + "the of"),         // alpha fraction
+      (6L, fifty + " " + fifty))                             // no stop hits
+    val got = docsDf(rows)
+      .select(col("doc_id") +:
+        TextOps.gopherRules(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("gopher_keep"), "clean doc must pass")
+    for (d <- 1L to 6L)
+      assert(!got(d).getAs[Boolean]("gopher_keep"), s"violator $d passed")
+    // the INTENDED rule is the one that fired (not just any)
+    assert(got(1L).getAs[Int]("n_words") < 50)
+    assert(got(2L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(got(3L).getAs[Double]("bullet_frac") > 0.9)
+    assert(got(4L).getAs[Double]("ellipsis_frac") > 0.3)
+    assert(got(5L).getAs[Double]("alpha_frac") < 0.8)
+    assert(got(6L).getAs[Int]("n_stop_hits") < 2)
+  }
+
+  test("paragraph dedup: global first arrival, in-doc repeats, order preserved") {
+    val rows = Seq(
+      (1L, "alpha\nSHARED FOOTER\nbeta\nbeta"),
+      (2L, "SHARED FOOTER\ngamma"),
+      (3L, "SHARED FOOTER"))
+    val got = TextOps.dedupParagraphs(docsDf(rows), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "alpha\nSHARED FOOTER\nbeta", // first arrival keeps; in-doc repeat dropped
+      2L -> "gamma",                      // footer seen at (1, pos 1)
+      3L -> ""), got.toString)            // everything seen -> empty, row kept
+    // determinism across partitioning (min-aggregated first arrival,
+    // not an arrival-order race)
+    val again = TextOps.dedupParagraphs(
+        docsDf(rows).repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("HLL vocabulary estimate tracks the exact two-phase distinct") {
     // the q48 scale path: approx_count_distinct is one mergeable-sketch
     // pass (no second shuffle stage); it must stay within its error
