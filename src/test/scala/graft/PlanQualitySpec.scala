@@ -339,6 +339,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "empty hot set must take the plain window path")
   }
 
+  test("gopher rules are one map-only select; paragraph dedup min-aggregates, never windows") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a\nb")).toDF("doc_id", "text")
+    val rules = docs.select(col("doc_id") +:
+      operators.TextOps.gopherRules(col("text")).map { case (n, c) => c.as(n) }: _*)
+    assert(!rules.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopher rules must be map-only (no shuffle)")
+    val dedup = operators.TextOps.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // first-arrival via partial-aggregated hash min: a boilerplate
+    // paragraph in 10^6 docs must never sort into one window task
+    assert(!dedup.contains("Window"),
+      s"paragraph first-arrival used a window:\n$dedup")
+    assert(!dedup.contains("CartesianProduct") &&
+      !dedup.contains("BroadcastNestedLoopJoin"), dedup)
+  }
+
   test("deterministic sampling is pure map work: no shuffle anywhere") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for ((name, df) <- Seq(
