@@ -403,6 +403,81 @@ class DataOpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  // per-id-seeded word soup: deterministic, pairwise dissimilar docs
+  private def wordRows(ids: Seq[Long]): Seq[(Long, String)] = {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    ids.map { i =>
+      val rnd = new scala.util.Random(1000L + i)
+      i -> Seq.fill(60)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+  }
+  private def wordDocs(ids: Seq[Long]) = docsDf(wordRows(ids))
+
+  test("incremental crawl round-trip: dedup-against-base + incremental CC == full recompute") {
+    // the production crawl shape end-to-end: a base corpus is already
+    // deduped and committed; a new crawl batch is near-dup'd AGAINST
+    // the base (never re-pairing base×base), its pairs fold into the
+    // base component assignment incrementally, and only new canonical
+    // docs append as the next snapshot. The invariant: the table
+    // after the increment equals a from-scratch dedup of the full
+    // corpus.
+    import graft.operators.Components
+    import graft.plans.IcebergLikeTable
+    val base = wordDocs(0L until 40L)
+    // increment: genuinely new docs + near-dups of base docs + a
+    // near-dup pair within the increment itself
+    val fresh = wordDocs(200L until 220L)
+    val dupOfBase = docsDf(wordRows(5L until 9L)
+      .map { case (id, t) => (id + 300L, t + " tail") })
+    val pairIn = docsDf(Seq(
+      (400L, "completely novel increment text about spark shuffles"),
+      (401L, "completely novel increment text about spark shuffles ok")))
+    val increment = fresh.unionByName(dupOfBase).unionByName(pairIn)
+
+    def pairs(a: org.apache.spark.sql.DataFrame) =
+      NearDup.jaccardNearDups(a, "doc_id", "text", nShingle = 3, threshold = 0.5)
+    def pairsAgainst(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      NearDup.jaccardNearDupsAgainst(a, b, "doc_id", "text",
+        nShingle = 3, threshold = 0.5)
+
+    // base state: assignment + canonical base table (snapshot 1)
+    val basePairs = pairs(base)
+    val baseAssign = Components.connectedComponents(basePairs)
+    val baseKeep = Components.dedupByComponent(base, "doc_id", basePairs)
+    val dir = java.nio.file.Files.createTempDirectory("crawlrt").toString
+    val table = new IcebergLikeTable(dir, Nil)
+    table.replacePartitions(baseKeep, 1L)
+
+    // increment: cross pairs + within-increment pairs, folded in
+    val newPairs = pairsAgainst(base, increment)
+      .unionByName(pairs(increment))
+      .select(col("doc_a"), col("doc_b"))
+    val merged = Components.incrementalComponents(baseAssign, newPairs)
+    // canonical = component minimum; append increment docs that ARE
+    // their component's canonical (untouched increment docs keep
+    // themselves)
+    val incKeep = increment.join(
+      merged.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+    table.replacePartitions(incKeep, 2L)
+
+    val got = table.read(spark).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // from-scratch recompute over the full corpus
+    val all = base.unionByName(increment)
+    val want = Components.dedupByComponent(all, "doc_id", pairs(all))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"incremental table diverged from full recompute:\n  only-inc ${got -- want}\n  only-full ${want -- got}")
+    // sanity: the increment actually exercised all three shapes
+    assert((200L until 220L).forall(got), "fresh docs missing")
+    assert((305L until 309L).forall(id => !got(id)), "base near-dups kept")
+    assert(got(400L) && !got(401L), "within-increment pair not resolved")
+    Components.releaseAll(); NearDup.unpersistAll()
+  }
+
   test("HLL vocabulary estimate tracks the exact two-phase distinct") {
     // the q48 scale path: approx_count_distinct is one mergeable-sketch
     // pass (no second shuffle stage); it must stay within its error
