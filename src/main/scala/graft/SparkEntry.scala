@@ -922,6 +922,32 @@ object SparkEntry {
       operators.TextOps.dedupParagraphs(ev, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q71_stream_para_dedup" -> ((s, dir) => {
+      // the STREAMING paragraph-dedup operator executed on a batch
+      // Dataset (uniform ts -> first arrival == (doc, pos) minimum) +
+      // the documented per-batch reassembly: must equal the batch
+      // operator row-for-row, so it shares q69's oracle (the q39=q15
+      // cross-path discipline)
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"),
+        concat(col("text"), lit("\n"), lit("BOILERPLATE FOOTER PARA"),
+          lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40)).as("text"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+      val survivors = streaming.StreamingPipeline.dedupParagraphsStream(
+        ev.as[streaming.StreamingPipeline.DocEvent],
+        streaming.StreamingPipeline.StreamConfig())
+      val rebuilt = survivors.groupBy(col("doc_id"))
+        .agg(concat_ws("\n", transform(
+          sort_array(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para"))).as("text_dedup"))
+      ev.select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy(col("doc_id"))
+    }),
     "q70_cc_incremental" -> ((s, dir) => {
       // INCREMENTAL connected components: base assignment from pairs
       // wholly inside the first half of the id space, the remaining
@@ -1021,7 +1047,8 @@ object SparkEntry {
     "q59_ann_shuffle" -> oracleSqlBase("q21_annotations"),
     "q64_drug_targets_shuffle" -> oracleSqlBase("q24_drug_targets"),
     "q66_match_shuffle" -> oracleSqlBase("q21_annotations"),
-    "q70_cc_incremental" -> oracleSqlBase("q40_neardup_components"))
+    "q70_cc_incremental" -> oracleSqlBase("q40_neardup_components"),
+    "q71_stream_para_dedup" -> oracleSqlBase("q69_para_dedup"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -297,6 +297,47 @@ object StreamingPipeline {
     kept.as[DocEvent]
   }
 
+  /** One surviving paragraph of a streaming paragraph-dedup pass. */
+  final case class ParaEvent(doc_id: Long, pos: Int, para: String,
+                             ts: Timestamp)
+
+  /** STREAMING paragraph-level dedup — the stream dual of
+    * `TextOps.dedupParagraphs` (the Dolma boilerplate-killer): every
+    * paragraph already seen within the watermark horizon is dropped;
+    * survivors are emitted as (doc_id, pos, para) rows for the caller
+    * to reassemble (per micro-batch: group by doc, concat in `pos`
+    * order — documents arrive whole, so a doc's paragraphs never span
+    * batches). State is ONE 8-byte xxhash per distinct paragraph
+    * (dropDuplicatesWithinWatermark on the hash — never the text),
+    * aged by the watermark: the same bounded-horizon semantic as
+    * `dedupByContent`, at paragraph granularity.
+    *
+    * Batch-mode execution uses the deterministic first-arrival
+    * (min_by event time, then (doc, pos)) — with uniform timestamps
+    * this selects exactly what `TextOps.dedupParagraphs` keeps
+    * (stream==batch pinned in StreamingSpec).
+    */
+  def dedupParagraphsStream(docs: Dataset[DocEvent], cfg: StreamConfig,
+                            sep: String = "\n"): Dataset[ParaEvent] = {
+    import docs.sparkSession.implicits._
+    val paras = docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(split(col("text"), sep)))
+      .toDF("doc_id", "ts", "pos", "para")
+      .withColumn("_h", xxhash64(col("para")))
+    val kept =
+      if (docs.isStreaming)
+        paras.withWatermark("ts", cfg.watermark)
+          .dropDuplicatesWithinWatermark("_h")
+      else
+        paras.groupBy(col("_h"))
+          .agg(min_by(struct(col("doc_id"), col("pos"), col("para"), col("ts")),
+            struct(col("ts"), col("doc_id"), col("pos"))).as("_p"))
+          .select(col("_p.*"))
+    kept.select(col("doc_id"), col("pos"), col("para"), col("ts"))
+      .as[ParaEvent]
+  }
+
   /** STREAMING near-duplicate pair detection: the streaming member of
     * the dedup family (batch counterpart: NearDup.simhashNearDups).
     * Emits (doc_a, doc_b, hamming) for every pair of documents within

@@ -243,6 +243,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got)
   }
 
+  test("streaming paragraph dedup: first arrival wins, reassembly matches batch") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      StreamingPipeline.DocEvent(1L, "alpha\nSHARED FOOTER\nbeta\nbeta", ts),
+      StreamingPipeline.DocEvent(2L, "SHARED FOOTER\ngamma", ts),
+      StreamingPipeline.DocEvent(3L, "SHARED FOOTER", ts))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamingPipeline.DocEvent]
+    val q = StreamingPipeline.dedupParagraphsStream(mem.toDS(), cfg)
+      .writeStream.format("memory").queryName("para_dedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("para_dedup")
+      .select("doc_id", "pos", "para")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // survivors: doc 1 keeps everything but its in-doc repeat; the
+    // footer's later arrivals are suppressed
+    assert(got == Set((1L, 0, "alpha"), (1L, 1, "SHARED FOOTER"),
+      (1L, 2, "beta"), (2L, 1, "gamma")))
+    // per-batch reassembly of the survivors equals the batch operator
+    val reassembled = got.groupBy(_._1).map { case (d, ps) =>
+      d -> ps.toSeq.sortBy(_._2).map(_._3).mkString("\n") }
+    val want = graft.operators.TextOps.dedupParagraphs(
+        rows.toDS().toDF(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty).toMap
+    assert(reassembled == want)
+    // batch-mode execution of the streaming operator picks the same
+    // survivors (stream == batch)
+    val batchGot = StreamingPipeline.dedupParagraphsStream(rows.toDS(), cfg)
+      .collect().map(p => (p.doc_id, p.pos, p.para)).toSet
+    assert(batchGot == got)
+  }
+
   test("streaming near-dup horizon: pairs beyond the watermark are not emitted") {
     import spark.implicits._
     import StreamingPipeline.DocEvent
