@@ -904,9 +904,7 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 5)
           .select((col("doc_id") + 4500000L).as("doc_id"),
             lit("to of and the short").as("text")))
-      ev.select(col("doc_id") +:
-          operators.TextOps.gopherRules(col("text"))
-            .map { case (n, c) => c.as(n) }: _*)
+      operators.TextOps.gopherRulesTable(ev, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     "q69_para_dedup" -> ((s, dir) => {
@@ -938,14 +936,8 @@ object SparkEntry {
       val survivors = streaming.StreamingPipeline.dedupParagraphsStream(
         ev.as[streaming.StreamingPipeline.DocEvent],
         streaming.StreamingPipeline.StreamConfig())
-      val rebuilt = survivors.groupBy(col("doc_id"))
-        .agg(concat_ws("\n", transform(
-          sort_array(collect_list(struct(col("pos"), col("para")))),
-          x => x.getField("para"))).as("text_dedup"))
-      ev.select(col("doc_id"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      operators.TextOps.reassembleParagraphs(
+          survivors.toDF(), ev, "doc_id")
         .orderBy(col("doc_id"))
     }),
     "q70_cc_incremental" -> ((s, dir) => {
@@ -1819,11 +1811,11 @@ object SparkEntry {
              len(list_intersect(list_distinct(toks),
                ['the','be','to','of','and','that','have','with'])) AS n_stop
            FROM f)
-         SELECT doc_id, n_words, round(mean_len, 4) AS mean_word_len_g,
-           round(sym_ratio, 4) AS symbol_ratio,
-           round(bullet_frac, 4) AS bullet_frac,
-           round(ellipsis_frac, 4) AS ellipsis_frac,
-           round(alpha_frac, 4) AS alpha_frac,
+         SELECT doc_id, n_words, mean_len AS mean_word_len_g,
+           sym_ratio AS symbol_ratio,
+           bullet_frac,
+           ellipsis_frac,
+           alpha_frac,
            n_stop AS n_stop_hits,
            (n_words >= 50 AND n_words <= 100000
              AND mean_len >= 3.0 AND mean_len <= 10.0

@@ -129,20 +129,42 @@ object TextOps {
     *  7. at least 2 distinct words from the Gopher stop set
     *
     * (The repetition rules of the same appendix live in
-    * `ngramRepStats`/q41.) Cross-engine exactness: every ratio is an
-    * IEEE quotient of exact integer counts compared against the same
-    * double literals, so `gopher_keep` is bit-identical across
-    * engines; displayed ratios are rounded, the VERDICT is computed
-    * on the raw quotients (the q38 rounding law).
+    * `ngramRepStats`/q41.) Cross-engine exactness: every ratio is the
+    * UNROUNDED IEEE quotient of exact integer counts — bit-identical
+    * on any engine — and `gopher_keep` compares those quotients
+    * against the same double literals. Nothing is round()ed: a
+    * quotient landing on a decimal half-boundary (e.g. 29/160 =
+    * 0.18125 exactly) rounds differently under Spark's
+    * shortest-decimal HALF_UP than under an engine rounding the
+    * binary double — the q38 rounding law.
     */
-  def gopherRules(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def gopherRules(text: Column): Seq[(String, Column)] =
+    gopherRulesFrom(tokens(text), split(text, "\n"),
+      regexp_count(text, lit("#|\\.\\.\\.|…")))
+
+  /** `gopherRules` over a staged relation — THE hot-path form: the
+    * tokenization and line split are materialized ONCE per row in a
+    * separate projection (CollapseProject will not re-inline a
+    * non-cheap expression referenced many times), where the bare
+    * Column form re-embeds the full-text split in every output slot
+    * that references it (the repo's documented HOF-CSE pathology).
+    */
+  def gopherRulesTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = docs.select(col(idCol),
+      tokens(col(textCol)).as("_toks"),
+      split(col(textCol), "\n").as("_lines"),
+      regexp_count(col(textCol), lit("#|\\.\\.\\.|…")).as("_nsym"))
+    staged.select(col(idCol) +:
+      gopherRulesFrom(col("_toks"), col("_lines"), col("_nsym"))
+        .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private def gopherRulesFrom(toks: Column, lines: Column,
+                              nSym: Column): Seq[(String, Column)] = {
     val nTok = size(toks)
     val meanLen =
       aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
         greatest(nTok, lit(1))
-    val nSym = regexp_count(text, lit("#|\\.\\.\\.|…"))
-    val lines = split(text, "\n")
     val nLines = size(lines)
     val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
     val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
@@ -155,11 +177,11 @@ object TextOps {
     val alphaFrac = nAlpha.cast("double") / greatest(nTok, lit(1))
     Seq(
       "n_words" -> nTok,
-      "mean_word_len_g" -> round(meanLen, 4),
-      "symbol_ratio" -> round(symRatio, 4),
-      "bullet_frac" -> round(bulletFrac, 4),
-      "ellipsis_frac" -> round(ellipsisFrac, 4),
-      "alpha_frac" -> round(alphaFrac, 4),
+      "mean_word_len_g" -> meanLen,
+      "symbol_ratio" -> symRatio,
+      "bullet_frac" -> bulletFrac,
+      "ellipsis_frac" -> ellipsisFrac,
+      "alpha_frac" -> alphaFrac,
       "n_stop_hits" -> nStop,
       "gopher_keep" -> (nTok >= 50 && nTok <= 100000 &&
         meanLen >= 3.0 && meanLen <= 10.0 &&
@@ -187,21 +209,36 @@ object TextOps {
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
                       sep: String = "\n"): DataFrame = {
+    // the separator is a LITERAL on both sides: the split is
+    // regex-quoted so a metacharacter separator ("|", ".") splits on
+    // the literal string, matching the literal reassembly join
     val paras = docs
-      .select(col(idCol).as("doc"), posexplode(split(col(textCol), sep)))
-      .toDF("doc", "pos", "para")
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "pos", "para")
       .withColumn("h", xxhash64(col("para")))
     val first = paras.groupBy(col("h"))
-      .agg(min(struct(col("doc"), col("pos"))).as("f"))
-      .select(col("h"), col("f.doc").as("fdoc"), col("f.pos").as("fpos"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("f"))
+      .select(col("h"), col("f.d").as("fdoc"), col("f.p").as("fpos"))
     val kept = paras.join(first, Seq("h"))
-      .filter(col("doc") === col("fdoc") && col("pos") === col("fpos"))
-      .groupBy(col("doc"))
+      .filter(col(idCol) === col("fdoc") && col("pos") === col("fpos"))
+    reassembleParagraphs(kept, docs, idCol, sep)
+  }
+
+  /** Reassemble (idCol, pos, para) survivor rows into per-document
+    * text in `pos` order — shared by `dedupParagraphs` and the
+    * streaming operator's per-batch reassembly (q71), so the two
+    * paths cannot drift. Every id in `allDocs` gets a row (fully
+    * deduplicated documents come back empty).
+    */
+  def reassembleParagraphs(survivors: DataFrame, allDocs: DataFrame,
+                           idCol: String, sep: String = "\n"): DataFrame = {
+    val rebuilt = survivors.groupBy(col(idCol))
       .agg(concat_ws(sep, transform(
         sort_array(collect_list(struct(col("pos"), col("para")))),
         x => x.getField("para"))).as("text_dedup"))
-    docs.select(col(idCol))
-      .join(kept.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+    allDocs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 

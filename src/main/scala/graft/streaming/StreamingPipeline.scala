@@ -322,7 +322,8 @@ object StreamingPipeline {
     import docs.sparkSession.implicits._
     val paras = docs
       .select(col("doc_id"), col("ts"),
-        posexplode(split(col("text"), sep)))
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(sep)))) // literal separator
       .toDF("doc_id", "ts", "pos", "para")
       .withColumn("_h", xxhash64(col("para")))
     val kept =

@@ -423,9 +423,20 @@ class DataOpsSpec extends AnyFunSuite {
     // docs append as the next snapshot. The invariant: the table
     // after the increment equals a from-scratch dedup of the full
     // corpus.
+    // SCOPE of the pinned invariant: the append-only canonical recipe
+    // below holds when no increment doc BRIDGES two distinct base
+    // components (a bridge makes the full recompute demote one of two
+    // already-committed base canonicals — that needs a snapshot
+    // rewrite, not an append; the assignment from
+    // incrementalComponents is still correct either way). The fixture
+    // asserts it exercises real base components without a bridge.
     import graft.operators.Components
     import graft.plans.IcebergLikeTable
     val base = wordDocs(0L until 40L)
+      // base-internal near-dups: the base assignment must be
+      // NON-empty so the star-edge fold-in is actually exercised
+      .unionByName(docsDf(wordRows(0L until 3L)
+        .map { case (id, t) => (id + 50L, t + " x") }))
     // increment: genuinely new docs + near-dups of base docs + a
     // near-dup pair within the increment itself
     val fresh = wordDocs(200L until 220L)
@@ -444,6 +455,8 @@ class DataOpsSpec extends AnyFunSuite {
 
     // base state: assignment + canonical base table (snapshot 1)
     val basePairs = pairs(base)
+    assert(basePairs.count() > 0,
+      "fixture must produce base components or the fold-in is vacuous")
     val baseAssign = Components.connectedComponents(basePairs)
     val baseKeep = Components.dedupByComponent(base, "doc_id", basePairs)
     val dir = java.nio.file.Files.createTempDirectory("crawlrt").toString
@@ -454,6 +467,15 @@ class DataOpsSpec extends AnyFunSuite {
     val newPairs = pairsAgainst(base, increment)
       .unionByName(pairs(increment))
       .select(col("doc_a"), col("doc_b"))
+    // fixture property backing the scope note above: no increment doc
+    // links two distinct base components
+    val bridges = pairsAgainst(base, increment)
+      .join(baseAssign.select(col("node").as("doc_a_"), col("component")),
+        col("doc_a") === col("doc_a_"), "left")
+      .select(col("doc_b"), coalesce(col("component"), col("doc_a")).as("comp"))
+      .groupBy(col("doc_b")).agg(countDistinct(col("comp")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(bridges == 0, "fixture bridges base components — outside the recipe's scope")
     val merged = Components.incrementalComponents(baseAssign, newPairs)
     // canonical = component minimum; append increment docs that ARE
     // their component's canonical (untouched increment docs keep
