@@ -920,6 +920,27 @@ object SparkEntry {
       operators.TextOps.dedupParagraphs(ev, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q72_dup_spans" -> ((s, dir) => {
+      // exact-substring duplicate spans (Lee et al. 2107.06499,
+      // window-hash formulation): an 11-token promo PREFIX on every
+      // 11th doc and a 12-token boilerplate SUFFIX on every 5th plant
+      // verbatim cross-document repeats at both span boundaries; the
+      // corpus's own re-crawl near-dups surface as organic spans. The
+      // oracle groups window TEXT where the engine groups the 64-bit
+      // window hash — identical output barring 2^-64 collisions
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 11 === 3, lit(
+            "limited time offer click here to claim your free reward now "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(
+            " subscribe to our newsletter for the latest updates and exclusive offers today"))
+            .otherwise(lit(""))).as("text"))
+      operators.SpanDedup.duplicateSpans(ev, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     "q71_stream_para_dedup" -> ((s, dir) => {
       // the STREAMING paragraph-dedup operator executed on a batch
       // Dataset (uniform ts -> first arrival == (doc, pos) minimum) +
@@ -1825,6 +1846,36 @@ object SparkEntry {
              AND alpha_frac >= CAST(0.8 AS DOUBLE)
              AND n_stop >= 2) AS gopher_keep
          FROM g ORDER BY doc_id""",
+    "q72_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3
+               THEN 'limited time offer click here to claim your free reward now '
+               ELSE '' END
+             || text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' subscribe to our newsletter for the latest updates and exclusive offers today'
+               ELSE '' END AS text
+           FROM documents),
+         tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM d),
+         win AS (SELECT doc_id,
+             unnest(range(0, len(toks) - 7)) AS pos,
+             unnest(list_transform(range(0, len(toks) - 7),
+               i -> array_to_string(toks[i+1:i+8], ' '))) AS w
+           FROM tok),
+         dup AS (SELECT doc_id, pos FROM win
+           WHERE w IN (SELECT w FROM win GROUP BY w HAVING count(*) >= 2)),
+         lg AS (SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM dup),
+         il AS (SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM lg)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           max(pos) + 8 - min(pos) AS span_tokens
+         FROM il GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "q69_para_dedup" ->
       """WITH ev AS (SELECT doc_id,
              text || chr(10) || 'BOILERPLATE FOOTER PARA' || chr(10)

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name subset (builder-side
+    // iteration aid; the driver passes exactly two args)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +41,10 @@ object Verify {
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }
-    SparkEntry.relationDumps.foreach { case (name, fn) =>
+    val oracleSel = SparkEntry.oracleSql.filter { case (k, _) =>
+      only.forall(_.contains(k)) }
+    val needRels = oracleSel.values.exists(_.contains(SparkEntry.RelToken))
+    if (needRels) SparkEntry.relationDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$relDir/$name")
       catch { case e: Throwable =>
@@ -45,7 +53,9 @@ object Verify {
       graft.operators.NearDup.unpersistAll()
       graft.operators.Components.releaseAll()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -66,7 +76,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSel
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(SparkEntry.RelToken, relDir))}" }
       .mkString("{", ",", "}")

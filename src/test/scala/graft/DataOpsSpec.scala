@@ -500,6 +500,50 @@ class DataOpsSpec extends AnyFunSuite {
     Components.releaseAll(); NearDup.unpersistAll()
   }
 
+  test("duplicate spans: cross-document repeat found exactly, merged maximal") {
+    // a 10-token passage planted verbatim inside two otherwise-unique
+    // docs: with k=4, all 7 of its k-windows collide and the
+    // gaps-and-islands merge must return ONE span covering exactly the
+    // planted range in each doc (paper semantics: repeats >= k exact)
+    val passage = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      1L -> s"aa bb cc $passage dd ee",
+      2L -> s"xx $passage yy zz ww",
+      3L -> "qq rr ss tt uu vv")
+    val got = operators.SpanDedup.duplicateSpans(docsDf(rows), "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: passage at token idx 3..13; doc 2: idx 1..11
+    assert(got == Set((1L, 3L, 13L), (2L, 1L, 11L)), s"got $got")
+  }
+
+  test("duplicate spans: repeats shorter than k invisible; within-doc repeats count") {
+    val rows = Seq(
+      1L -> "red blue green aa bb cc dd red blue green", // 3-token repeat < k=4
+      2L -> "p q r s TAIL p q r s HEAD p q r s")         // 4-token within-doc x3
+    val got = operators.SpanDedup.duplicateSpans(docsDf(rows), "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 emits nothing; doc 2's three "p q r s" occurrences (idx 0,5,10)
+    // are separate islands (gap 5 > k=4)
+    assert(got == Set((2L, 0L, 4L), (2L, 5L, 9L), (2L, 10L, 14L)), s"got $got")
+  }
+
+  test("duplicate span stats: one row per doc, partitioning-independent") {
+    val passage = "w1 w2 w3 w4 w5 w6"
+    val rows = Seq(
+      1L -> s"$passage left right up down",
+      2L -> s"noise $passage more noise here",
+      3L -> "totally unique words only appear here once")
+    val stats = operators.SpanDedup.duplicateSpanStats(
+        docsDf(rows), "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set((1L, 10L, 6L, 1L), (2L, 10L, 6L, 1L), (3L, 7L, 0L, 0L)),
+      s"got $stats")
+    val repart = operators.SpanDedup.duplicateSpanStats(
+        docsDf(rows).repartition(7), "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repart == stats, "stats changed under repartition")
+  }
+
   test("HLL vocabulary estimate tracks the exact two-phase distinct") {
     // the q48 scale path: approx_count_distinct is one mergeable-sketch
     // pass (no second shuffle stage); it must stay within its error

@@ -356,6 +356,25 @@ class PlanQualitySpec extends AnyFunSuite {
       !dedup.contains("BroadcastNestedLoopJoin"), dedup)
   }
 
+  test("duplicate spans: equi-joins only; the one window is per-doc partitioned") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e f a b c d e f")).toDF("doc_id", "text")
+    val plan = operators.SpanDedup.duplicateSpans(docs, "doc_id", "text", k = 4)
+      .queryExecution.executedPlan.toString
+    // the dup-hash mark must be a hash equi-join on the 8-byte key —
+    // never a nested loop — and the count must partial-aggregate
+    // (a boilerplate window hash is a hot key by construction)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"window-hash count lost map-side partial aggregation:\n$plan")
+    // gaps-and-islands windows are PARTITIONED BY doc_id: per-task state
+    // is one document's windows, not a corpus-scale key
+    val winSpecs = plan.split('\n').filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("doc_id")),
+      s"island window not per-doc partitioned:\n$plan")
+  }
+
   test("deterministic sampling is pure map work: no shuffle anywhere") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for ((name, df) <- Seq(
