@@ -941,6 +941,24 @@ object SparkEntry {
       operators.SpanDedup.duplicateSpans(ev, "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("span_start"))
     }),
+    "q73_span_removal" -> ((s, dir) => {
+      // apply q72's spans: delete the duplicated ranges, keep the
+      // unique flanks (the paper's actual transform). Same planted
+      // fixture, so every 5th/11th doc loses its boilerplate while its
+      // organic text survives
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 11 === 3, lit(
+            "limited time offer click here to claim your free reward now "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(
+            " subscribe to our newsletter for the latest updates and exclusive offers today"))
+            .otherwise(lit(""))).as("text"))
+      operators.SpanDedup.removeDuplicateSpans(ev, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
     "q71_stream_para_dedup" -> ((s, dir) => {
       // the STREAMING paragraph-dedup operator executed on a batch
       // Dataset (uniform ts -> first arrival == (doc, pos) minimum) +
@@ -1876,6 +1894,51 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
            max(pos) + 8 - min(pos) AS span_tokens
          FROM il GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q73_span_removal" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3
+               THEN 'limited time offer click here to claim your free reward now '
+               ELSE '' END
+             || text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' subscribe to our newsletter for the latest updates and exclusive offers today'
+               ELSE '' END AS text
+           FROM documents),
+         tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM d),
+         win AS (SELECT doc_id,
+             unnest(range(0, len(toks) - 7)) AS pos,
+             unnest(list_transform(range(0, len(toks) - 7),
+               i -> array_to_string(toks[i+1:i+8], ' '))) AS w
+           FROM tok),
+         dup AS (SELECT doc_id, pos FROM win
+           WHERE w IN (SELECT w FROM win GROUP BY w HAVING count(*) >= 2)),
+         lg AS (SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM dup),
+         il AS (SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM lg),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           FROM il GROUP BY doc_id, island),
+         tk AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i,
+             unnest(toks) AS t
+           FROM tok),
+         rem AS (SELECT DISTINCT tk.doc_id, tk.i FROM tk
+           JOIN sp ON sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e),
+         keep AS (SELECT tk.doc_id, tk.i, tk.t FROM tk
+           ANTI JOIN rem ON tk.doc_id = rem.doc_id AND tk.i = rem.i),
+         agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+             count(*) AS n_kept
+           FROM keep GROUP BY doc_id)
+         SELECT tok.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           len(tok.toks) AS n_tok,
+           len(tok.toks) - coalesce(agg.n_kept, 0) AS n_removed
+         FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         ORDER BY tok.doc_id""",
     "q69_para_dedup" ->
       """WITH ev AS (SELECT doc_id,
              text || chr(10) || 'BOILERPLATE FOOTER PARA' || chr(10)

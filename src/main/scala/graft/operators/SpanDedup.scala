@@ -96,6 +96,42 @@ object SpanDedup {
       (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** Apply the span pass: drop every token inside a duplicated span and
+    * reassemble the remainder — the transform the paper actually
+    * performs on C4/LM1B (they delete the repeated range, keeping the
+    * unique flanks). One equi-join on doc_id attaches each document's
+    * (few) spans as an array; token filtering is then a per-row
+    * higher-order `filter` over the token array — no token-level
+    * shuffle (the exploded-token ∘ range-anti-join formulation would
+    * shuffle every token in the corpus; this shuffles only doc-level
+    * rows). Documents with no duplicated span pass through with
+    * tokenizer normalization (lowercase, collapsed whitespace) —
+    * clean_text is canonical-form for every row, so the operator is
+    * idempotent.
+    *
+    * Returns (doc_id, clean_text, n_tok, n_removed); a fully-duplicated
+    * document emits clean_text = ''.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("toks"), (t, i) =>
+          !exists(col("spans"), sp =>
+            i >= sp.getField("span_start") && i < sp.getField("span_end"))))
+          .as("clean_text"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("span_end") - sp.getField("span_start"))
+          .as("n_removed"))
+  }
+
   /** Corpus-level summary of the duplicated-span pass: per document,
     * how many tokens sit inside duplicated spans and the duplicated
     * fraction — the number the paper reports (3.1% of C4 tokens are

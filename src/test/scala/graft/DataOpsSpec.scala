@@ -544,6 +544,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(repart == stats, "stats changed under repartition")
   }
 
+  test("span removal: duplicated range deleted, unique flanks survive, idempotent") {
+    val passage = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      1L -> s"aa bb cc $passage dd ee",
+      2L -> s"xx $passage yy zz ww",
+      3L -> passage,                      // fully duplicated doc
+      4L -> "qq rr ss tt uu vv")
+    val got = operators.SpanDedup.removeDuplicateSpans(docsDf(rows), "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("aa bb cc dd ee", 15L, 10L)), got(1L))
+    assert(got(2L) == (("xx yy zz ww", 14L, 10L)), got(2L))
+    assert(got(3L) == (("", 10L, 10L)), got(3L))
+    assert(got(4L) == (("qq rr ss tt uu vv", 6L, 0L)), got(4L))
+    // idempotence: a second pass over the cleaned corpus removes nothing
+    val clean = got.toSeq.map { case (id, (t, _, _)) => id -> t }
+    val again = operators.SpanDedup.removeDuplicateSpans(
+        docsDf(clean), "doc_id", "text", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(again.forall(_._3 == 0L), s"second pass removed tokens: ${again.toSeq}")
+    assert(again.map(t => t._1 -> t._2).toMap == clean.toMap,
+      "second pass changed text")
+  }
+
   test("HLL vocabulary estimate tracks the exact two-phase distinct") {
     // the q48 scale path: approx_count_distinct is one mergeable-sketch
     // pass (no second shuffle stage); it must stay within its error
