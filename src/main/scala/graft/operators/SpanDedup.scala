@@ -56,16 +56,39 @@ object SpanDedup {
                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"window width k must be >= 1, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // (doc_id, pos, win_h): one row per FULL k-token window, hashed by
+    // the native one-pass expression (window_hashes): one tokenize
+    // scan per row, no per-window string materialization (the
+    // composed transform/slice/concat_ws form re-allocated every
+    // window as a string — kept as the parity cross-check below).
+    // The join/agg payload is 8-byte hashes — window TEXT never
+    // shuffles. Docs shorter than k emit an empty array, which
+    // posexplode drops.
+    val wins = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.plans.TextExprs.windowHashes(
+        docs.sparkSession, col(textCol), k)))
+      .toDF("doc_id", "pos", "win_h")
+    spansFromWins(wins, k, minCount)
+  }
+
+  /** Declarative window derivation (the form `window_hashes` replaces):
+    * positions identical, hash values engine-internal either way.
+    * Parity-pinned in DataOpsSpec; not a hot path.
+    */
+  private[graft] def duplicateSpansColumnar(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minCount: Int = 2): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-    // (doc_id, pos, win_h): one row per k-token window. The join/agg
-    // payload is 8-byte hashes — window TEXT never shuffles.
     val wins = toks.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), size(col("toks")) - k),
         i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
       .toDF("doc_id", "pos", "win_h")
+    spansFromWins(wins, k, minCount)
+  }
+
+  private def spansFromWins(wins: DataFrame, k: Int, minCount: Int): DataFrame = {
     // corpus-wide occurrence count per window hash; keep only the
     // duplicated tail. count(*) not countDistinct(doc): within-doc
     // repeats are duplication too (paper semantics).

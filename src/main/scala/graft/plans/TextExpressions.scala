@@ -190,6 +190,75 @@ case class HashedShinglesExpression(child: Expression, n: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+object WindowHashesHelper {
+  /** Positional variant of [[ShinglesHelper.eval]] for the duplicate-
+    * span pass (SpanDedup): in-order, NOT deduplicated, FULL windows
+    * only — out(p) is the hash of tokens [p, p+k), length
+    * max(nTok-k+1, 0) (fewer than k tokens ⇒ empty array, so
+    * posexplode drops the row). Same tokenization convention as
+    * ShinglesHelper (trim+lower, \s+ split) so positions index the
+    * same token array as `TextOps.tokens`; same per-window mixing.
+    *
+    * The composed-Column form this replaces (transform over
+    * sequence(0, size-k) with slice+concat_ws+xxhash64 per slot)
+    * materializes every window as a string — O(tokens·k) allocation
+    * per row; this is one allocation-free scan.
+    */
+  def eval(u: UTF8String, k: Int): ArrayData = {
+    val s = TextNorm.lower(u)
+    val len = s.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = math.max(starts.size, 1) // empty text ≙ one empty token
+    val nWin = math.max(nTok - k + 1, 0)
+    val out = new Array[Long](nWin)
+    var p = 0
+    while (p < nWin) {
+      var h = 0x9E3779B97F4A7C15L
+      var t = p
+      val tEnd = p + k
+      while (t < tEnd) {
+        if (t > p) h = (h ^ ' '.toLong) * 0xBF58476D1CE4E5B9L
+        if (t < starts.size) {
+          var c = starts.get(t).intValue()
+          val e = ends.get(t).intValue()
+          while (c < e) {
+            h = (h ^ s.charAt(c).toLong) * 0xBF58476D1CE4E5B9L
+            c += 1
+          }
+        }
+        t += 1
+      }
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      out(p) = h ^ (h >>> 31)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WindowHashesExpression(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+  override def nullSafeEval(v: Any): Any =
+    WindowHashesHelper.eval(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WindowHashesHelper$$.MODULE$$.eval($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RepStatsHelper {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -658,6 +727,9 @@ object TextExprs {
       "ngram_rep_stats", exprs => NgramRepStatsExpression(exprs.head,
         intLit(exprs(1), "ngram_rep_stats n")), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_hashes", exprs => WindowHashesExpression(exprs.head,
+        intLit(exprs(1), "window_hashes k")), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles_hashed", exprs => HashedShinglesExpression(exprs.head,
         exprs(1) match {
           case Literal(v: Int, IntegerType) => v
@@ -673,6 +745,11 @@ object TextExprs {
   def minhashSig(spark: SparkSession, c: Column, k: Int): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("minhash_sig", c,
+      org.apache.spark.sql.functions.lit(k))
+  }
+  def windowHashes(spark: SparkSession, c: Column, k: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("window_hashes", c,
       org.apache.spark.sql.functions.lit(k))
   }
   def shinglesHashed(spark: SparkSession, c: Column, n: Int): Column = {

@@ -544,6 +544,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(repart == stats, "stats changed under repartition")
   }
 
+  test("native window_hashes spans == columnar transform/slice spans") {
+    // same positions from both window derivations (hash VALUES are
+    // engine-internal and deliberately differ; the contract is spans)
+    val df = docsDf(corpus)
+    val native = operators.SpanDedup.duplicateSpans(df, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val columnar = operators.SpanDedup.duplicateSpansColumnar(df, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == columnar,
+      s"only-native ${native -- columnar}, only-columnar ${columnar -- native}")
+    assert(native.nonEmpty, "fixture produced no spans — parity test is vacuous")
+  }
+
   test("span removal: duplicated range deleted, unique flanks survive, idempotent") {
     val passage = "one two three four five six seven eight nine ten"
     val rows = Seq(
