@@ -920,6 +920,36 @@ object SparkEntry {
       operators.TextOps.dedupParagraphs(ev, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q74_mix_to_budget" -> ((s, dir) => {
+      // Dolma-style corpus mixing: per-source token targets -> one
+      // bounded per-source totals aggregation -> map-only
+      // hash-threshold downsample (rate = min(1, target/total), one
+      // IEEE division of exact integers, so the oracle recomputing the
+      // totals lands on the same kept set bit-for-bit). src1 over-asks
+      // (keeps everything), src3 asks for a sliver, src10+ have no
+      // target (dropped — the mix declaration is the whole recipe)
+      val docs = t(s, dir, "documents")
+      val targets = Map(
+        "src0" -> 300L, "src1" -> 100000L, "src2" -> 700L,
+        "src3" -> 50L, "src4" -> 1000L, "src5" -> 600L, "src6" -> 600L,
+        "src7" -> 600L, "src8" -> 600L, "src9" -> 600L)
+      val rates = operators.Mixing.mixingRates(docs, "source", "text", targets)
+      val kept = operators.Sampling.stratifiedSample(docs, "doc_id", "source",
+        rates.map { case (src, (r, _)) => src -> r }, defaultRate = 0.0,
+        salt = "s74")
+      // quantized rate compiled in as a literal chain — the exact
+      // integer both engines thresholded on, for observability
+      val rateQ = rates.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+        case (acc, (src, (_, q))) =>
+          when(col("source") === src, lit(q)).otherwise(acc)
+      }
+      kept.withColumn("rate_q", rateQ)
+        .groupBy(col("source"), col("rate_q"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(size(operators.TextOps.tokens(col("text"))))
+            .as("n_tokens_kept"))
+        .orderBy(col("source"))
+    }),
     "q72_dup_spans" -> ((s, dir) => {
       // exact-substring duplicate spans (Lee et al. 2107.06499,
       // window-hash formulation): an 11-token promo PREFIX on every
@@ -1864,6 +1894,31 @@ object SparkEntry {
              AND alpha_frac >= CAST(0.8 AS DOUBLE)
              AND n_stop >= 2) AS gopher_keep
          FROM g ORDER BY doc_id""",
+    "q74_mix_to_budget" ->
+      """WITH tot AS (SELECT source,
+             sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS toks
+           FROM documents GROUP BY 1),
+         tgt AS (SELECT * FROM (VALUES
+             ('src0', 300), ('src1', 100000), ('src2', 700),
+             ('src3', 50), ('src4', 1000), ('src5', 600), ('src6', 600),
+             ('src7', 600), ('src8', 600), ('src9', 600))
+             t(source, target)),
+         r AS (SELECT source,
+             least(CAST(4294967296 AS BIGINT),
+               CAST(floor(least(CAST(1 AS DOUBLE),
+                 CAST(target AS DOUBLE) / CAST(toks AS DOUBLE))
+                 * CAST(4294967296 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS rate_q
+           FROM tot JOIN tgt USING (source)),
+         kept AS (SELECT d.source, d.text, r.rate_q
+           FROM documents d JOIN r USING (source)
+           WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s74'), 1, 8) <
+             CASE WHEN r.rate_q >= 4294967296 THEN 'g'
+                  ELSE printf('%08x', r.rate_q) END)
+         SELECT source, rate_q, count(*) AS n_docs_kept,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             AS BIGINT) AS n_tokens_kept
+         FROM kept GROUP BY 1, 2 ORDER BY 1""",
     "q72_dup_spans" ->
       """WITH d AS (SELECT doc_id,
              CASE WHEN doc_id % 11 = 3

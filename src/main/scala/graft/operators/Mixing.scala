@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing to per-source token targets — the Dolma/Pile recipe
+  * shape: a training mix is specified as "this many tokens from each
+  * source", and the engine must downsample each source to its target
+  * deterministically. Two phases:
+  *
+  *   1. one small aggregation — per-source token totals. The result is
+  *      source-cardinality-bounded (a production corpus has dozens to
+  *      hundreds of sources, never more), so collecting it to the
+  *      driver is a metadata read, not a data path — the same bounded
+  *      regime as the q48 vocabulary report.
+  *   2. a map-only hash-threshold filter ([[Sampling]]): rate_s =
+  *      min(1, target_s / tokens_s), decided per row from
+  *      md5(key:salt). Zero shuffle on the corpus itself; the kept set
+  *      is a pure function of the data — identical on any
+  *      partitioning, any cluster size, any engine.
+  *
+  * Rates are data-dependent but cross-engine exact: both factors are
+  * integers, the quotient is one IEEE double division, and the
+  * comparison threshold is the integer-quantized
+  * [[Sampling.rateThreshold]] — so a DuckDB oracle recomputing the
+  * totals reproduces the kept set bit-for-bit. Sources without a
+  * target are dropped (rate 0): the mix declaration is the complete
+  * recipe, not a patch over a default.
+  *
+  * Targets are met in expectation (hash sampling is per-doc binomial);
+  * an exact-token cut would need a per-source sort — the wrong trade
+  * at corpus scale, where ±0.1% on a source's token share is noise.
+  */
+object Mixing {
+
+  /** Per-source token totals (sum over `tokens(textCol)` counts). */
+  def sourceTokenTotals(df: DataFrame, sourceCol: String,
+                        textCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(sum(size(TextOps.tokens(col(textCol)))).as("total_tokens"))
+
+  /** The computed mix: (source -> (keep rate, quantized rate)). The
+    * quantized rate is `round(rate * 2^32)` capped at 2^32 — the exact
+    * integer both engines threshold on, exposed for observability and
+    * oracle pinning.
+    */
+  def mixingRates(df: DataFrame, sourceCol: String, textCol: String,
+                  targets: Map[String, Long]): Map[String, (Double, Long)] = {
+    require(targets.values.forall(_ >= 0), "token targets must be >= 0")
+    // bounded collect: one row per source (see scaladoc)
+    val totals = sourceTokenTotals(df, sourceCol, textCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.flatMap { case (source, target) =>
+      totals.get(source).map { total =>
+        // one IEEE division of exact integers — bit-identical in any
+        // engine; min-clamp BEFORE quantization so over-asked sources
+        // (target > available) keep everything
+        val rate = math.min(1.0, target.toDouble / total.toDouble)
+        val q = math.min(math.round(rate * 4294967296.0), 4294967296L)
+        source -> (rate, q)
+      }
+    }
+  }
+
+  /** Deterministic mix: keep a hash-threshold sample of each source
+    * sized to its token target; sources without a target are dropped.
+    */
+  def mixToTokenBudget(df: DataFrame, keyCol: String, sourceCol: String,
+                       textCol: String, targets: Map[String, Long],
+                       salt: String = "graft"): DataFrame = {
+    val rates = mixingRates(df, sourceCol, textCol, targets)
+      .map { case (s, (rate, _)) => s -> rate }
+    Sampling.stratifiedSample(df, keyCol, sourceCol, rates,
+      defaultRate = 0.0, salt = salt)
+  }
+}

@@ -92,6 +92,49 @@ class CurationSpec extends AnyFunSuite {
       .count() == 9)
   }
 
+  // ---------------- corpus mixing ----------------
+
+  test("mixing rates: exact quotient, over-ask clamps, no-target dropped") {
+    import spark.implicits._
+    // src a: 4 docs x 5 tokens = 20; src b: 2 docs x 3 tokens = 6
+    val docs = ((0L until 4L).map(i => (i, "a", "t t t t t")) ++
+      (4L until 6L).map(i => (i, "b", "t t t"))).toDF("id", "source", "text")
+    val rates = operators.Mixing.mixingRates(docs, "source", "text",
+      Map("a" -> 10L, "b" -> 100L, "ghost" -> 5L))
+    assert(rates.keySet == Set("a", "b"), "ghost source must not get a rate")
+    assert(rates("a")._1 == 0.5 && rates("a")._2 == 2147483648L)
+    assert(rates("b")._1 == 1.0 && rates("b")._2 == 4294967296L)
+  }
+
+  test("mix to token budget: deterministic, near-target, recipe-complete") {
+    import spark.implicits._
+    val docs = (0L until 3000L)
+      .map(i => (i, s"src${i % 3}", "w w w w w w w w w w")) // 10 tok/doc
+      .toDF("id", "source", "text")
+    val targets = Map("src0" -> 2000L, "src1" -> 20000L) // src2: no target
+    val kept = operators.Mixing.mixToTokenBudget(
+      docs, "id", "source", "text", targets, salt = "m")
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    // partitioning-independent
+    val again = operators.Mixing.mixToTokenBudget(
+      docs.repartition(13), "id", "source", "text", targets, salt = "m")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0: 1000 docs x 10 tokens, target 2000 => rate 0.2
+    assert(math.abs(bySource("src0") - 200) < 4 * math.sqrt(1000 * 0.2 * 0.8))
+    // src1 over-asks: everything kept
+    assert(bySource("src1") == 1000)
+    // src2 has no target: dropped entirely
+    assert(!bySource.contains("src2"))
+    // raising a target with the same salt only ADDS docs (nested mixes)
+    val more = operators.Mixing.mixToTokenBudget(docs, "id", "source", "text",
+      targets.updated("src0", 4000L), salt = "m")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(more))
+  }
+
   // ---------------- relevance scoring ----------------
 
   test("quantized tf-idf is exact on a hand corpus") {
