@@ -920,6 +920,20 @@ object SparkEntry {
       operators.TextOps.dedupParagraphs(ev, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q75_quality_classifier" -> ((s, dir) => {
+      // model-based quality filter, inference side (the fastText-
+      // classifier shape): integer linear score over unigram+bigram
+      // features, label = sign of the sum. Weights here are the
+      // deterministic md5-derived stand-in (same join/scale shape as
+      // learned weights) so the oracle recomputes them from scratch —
+      // no dumped relation, a fully independent cross-engine check;
+      // the spec demonstrates the actual junk/prose separation with a
+      // hand-trained table
+      val docs = t(s, dir, "documents")
+      val w = operators.Classifier.synthWeights(docs, "doc_id", "text")
+      operators.Classifier.scoreQuantized(docs, w, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q74_mix_to_budget" -> ((s, dir) => {
       // Dolma-style corpus mixing: per-source token targets -> one
       // bounded per-source totals aggregation -> map-only
@@ -1894,6 +1908,27 @@ object SparkEntry {
              AND alpha_frac >= CAST(0.8 AS DOUBLE)
              AND n_stop >= 2) AS gopher_keep
          FROM g ORDER BY doc_id""",
+    "q75_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         feats AS (SELECT doc_id,
+             unnest(toks || list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS feature
+           FROM tok),
+         w AS (SELECT feature,
+             CAST(('0x' || substr(md5(feature), 1, 8)) AS BIGINT)
+               % 1001 - 500 AS weight_q
+           FROM (SELECT DISTINCT feature FROM feats)),
+         sums AS (SELECT f.doc_id, sum(w.weight_q) AS score_q
+           FROM feats f JOIN w USING (feature) GROUP BY 1),
+         lens AS (SELECT doc_id,
+             CAST(2 * len(toks) - 1 AS BIGINT) AS n_feats FROM tok)
+         SELECT l.doc_id, l.n_feats,
+           CAST(coalesce(s.score_q, 0) AS BIGINT) AS score_q,
+           coalesce(s.score_q, 0) > 0 AS keep
+         FROM lens l LEFT JOIN sums s USING (doc_id)
+         ORDER BY doc_id""",
     "q74_mix_to_budget" ->
       """WITH tot AS (SELECT source,
              sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS toks

@@ -135,6 +135,53 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.subsetOf(more))
   }
 
+  // ---------------- quality classifier ----------------
+
+  test("classifier separates junk from prose with a hand-trained table") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "click here free offer click here free offer"),
+      (2L, "new york is a city"),   // bigram-decided (see weights)
+      (3L, "york new is a city"),   // same unigrams, broken adjacency
+      (4L, "zz zz zz")              // nothing in the table -> score 0
+    ).toDF("doc_id", "text")
+    val weights = Seq(
+      ("the", 10L), ("quick", 50L), ("brown", 50L), ("fox", 50L),
+      ("click", -400L), ("free", -400L), ("offer", -400L), ("here", -100L),
+      ("new york", 300L), ("is", 5L), ("a", 5L), ("city", 5L),
+      ("new", -100L), ("york", -100L)
+    ).toDF("feature", "weight_q")
+    val got = operators.Classifier
+      .scoreQuantized(docs, weights, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // doc0: the+quick+brown+fox+the = 10+50+50+50+10 = 170, 17 feats
+    assert(got(0L) == ((17L, 170L, true)))
+    // doc1: 2*(click+here+free+offer) = 2*(-400-100-400-400) = -2600
+    assert(got(1L) == ((15L, -2600L, false)))
+    // doc2 vs doc3: identical unigram sum (-185); only doc2 has the
+    // "new york" adjacency (+300) — order sensitivity a bag-of-words
+    // score lacks
+    assert(got(2L) == ((9L, 115L, true)))
+    assert(got(3L) == ((9L, -185L, false)))
+    // doc4: no feature matches — left-join zero, not a dropped row
+    assert(got(4L) == ((5L, 0L, false)))
+  }
+
+  test("synth weights are md5-exact, vocabulary-bounded, in [-500,500]") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta alpha")).toDF("doc_id", "text")
+    val w = operators.Classifier.synthWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab = distinct features only: 2 unigrams + 2 bigrams
+    assert(w.keySet ==
+      Set("alpha", "beta", "alpha beta", "beta alpha"))
+    assert(w.values.forall(v => v >= -500 && v <= 500))
+    // md5("alpha") = 2c1743a3...: 0x2c1743a3 % 1001 - 500 = 239
+    assert(w("alpha") == (java.lang.Long.parseLong("2c1743a3", 16) % 1001 - 500))
+  }
+
   // ---------------- relevance scoring ----------------
 
   test("quantized tf-idf is exact on a hand corpus") {
