@@ -135,6 +135,61 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.subsetOf(more))
   }
 
+  // ---------------- BPE vocabulary induction ----------------
+
+  test("bpe: classic Sennrich corpus learns the hand-computed merges") {
+    import spark.implicits._
+    import operators.BpeTrain
+    // low x5, lower x2, newest x6, widest x3 (arXiv 1508.07909 §3.2,
+    // with our attached end-marker convention)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val m = BpeTrain.train(docs, "text", nMerges = 5)
+    assert(m.merges.map(x => (x.rank, x.lhs, x.rhs, x.pair_count)) == Seq(
+      (0, "e", "s", 9L),        // ties (e,s)/(s,t</w>) break lexicographic
+      (1, "es", "t</w>", 9L),
+      (2, "l", "o", 7L),
+      (3, "e", "w", 6L),        // ties (e,w)/(n,e)/(w,est</w>)
+      (4, "ew", "est</w>", 6L)))
+    val segs = m.segments.map(s => s.word -> s.pieces).toMap
+    assert(segs("low") == Vector("lo", "w</w>"))
+    assert(segs("newest") == Vector("n", "ewest</w>"))
+    assert(segs("widest") == Vector("w", "i", "d", "est</w>"))
+    // stage invariant: stage r+1 = applyMerge(stage r, merge r)
+    val byRank = m.stages.groupBy(_.rank)
+    for (r <- 0 until 4) {
+      val cur = byRank(r).map(s => s.word -> s.pieces.toVector).toMap
+      val nxt = byRank(r + 1).map(s => s.word -> s.pieces.toVector).toMap
+      val mr = m.merges(r)
+      assert(cur.map { case (w, p) =>
+        w -> BpeTrain.applyMerge(p, mr.lhs, mr.rhs) } == nxt)
+    }
+    // a NEW word segments with the learned merges (generalization)
+    assert(BpeTrain.segmentWord("lowest", m.merges) ==
+      Vector("lo", "w", "est</w>"))
+    assert(m.droppedWords == 0)
+  }
+
+  test("bpe: greedy apply, empty-word marker, early stop, word cap") {
+    import spark.implicits._
+    import operators.BpeTrain
+    // leftmost-greedy non-overlapping: a a a</w> + (a,a) -> aa, a</w>
+    assert(BpeTrain.applyMerge(Vector("a", "a", "a</w>"), "a", "a") ==
+      Vector("aa", "a</w>"))
+    assert(BpeTrain.baseSymbols("") == Vector("</w>"))
+    // every pair is a singleton -> minPairCount=2 stops before merge 0
+    val uniq = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    val m0 = BpeTrain.train(uniq, "text", nMerges = 5)
+    assert(m0.merges.isEmpty && m0.stages.isEmpty)
+    // cap keeps the highest-count word and counts the dropped rest
+    val capped = BpeTrain.train(
+      Seq((0L, "zz zz yy")).toDF("doc_id", "text"),
+      "text", nMerges = 1, minPairCount = 1L, maxWords = 1)
+    assert(capped.droppedWords == 1L)
+    assert(capped.merges == Seq(operators.BpeMerge(0, "z", "z</w>", 2L)))
+  }
+
   // ---------------- quality classifier ----------------
 
   test("classifier separates junk from prose with a hand-trained table") {
