@@ -121,6 +121,29 @@ object SparkEntry {
     bpeModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       operators.BpeTrain.train(t(s, dir, "documents"), "text", nMerges = 40))
 
+  /** q77 eval corpus: the training corpus plus planted docs carrying
+    * words unseen at training time (the OOV path through
+    * segmentTable).
+    */
+  def q77Docs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" lowest newestest unseenword"))
+            .as("text")))
+  }
+
+  /** q77's per-distinct-word segmentation table (pure function of the
+    * eval vocabulary + learned merges, so the rel dump and the query's
+    * internal table are identical by construction).
+    */
+  def q77SegTable(s: SparkSession, dir: String): DataFrame =
+    operators.BpeTrain.segmentTable(
+      q77Docs(s, dir).select(
+        explode(operators.TextOps.tokens(col("text"))).as("word")),
+      "word", bpeModel(s, dir).merges)
+
   private val jaccardPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -241,7 +264,8 @@ object SparkEntry {
     "var_names" -> ((s, _) => varNamesDF(s)),
     "support_table" -> ((s, _) => operators.DimShuffle.supportTable(
       defaultFilteredDim(s), Pipeline.defaultCt)),
-    "bpe_stages" -> ((s, dir) => bpeModel(s, dir).stagesDf(s)))
+    "bpe_stages" -> ((s, dir) => bpeModel(s, dir).stagesDf(s)),
+    "bpe_seg_table" -> ((s, dir) => q77SegTable(s, dir)))
 
   /** Flagship: full match->annotate pipeline over synthesized
     * transcripts (driver smoke-checks rows>0).
@@ -929,6 +953,19 @@ object SparkEntry {
           lit("\n"), substring(col("text"), 1, 40),
           lit("\n"), substring(col("text"), 1, 40)).as("text"))
       operators.TextOps.dedupParagraphs(ev, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q77_bpe_tokenize" -> ((s, dir) => {
+      // apply the learned tokenizer at corpus scale: per-doc word and
+      // BPE-piece counts (the sequence-length accounting packing and
+      // chunking consume). The iterative merge application runs once
+      // per DISTINCT word (vocab-bounded boundary UDF); the corpus
+      // path is a broadcast join + partial-aggregated sum. Planted
+      // docs carry words unseen at training time — the OOV path; the
+      // oracle re-derives every doc's counts from the dumped
+      // segmentation table
+      operators.BpeTrain.bpeTokenize(q77Docs(s, dir), "doc_id", "text",
+        bpeModel(s, dir).merges)
         .orderBy(col("doc_id"))
     }),
     "q76_bpe_train" -> ((s, dir) => {
@@ -1932,6 +1969,21 @@ object SparkEntry {
              AND alpha_frac >= CAST(0.8 AS DOUBLE)
              AND n_stop >= 2) AS gopher_keep
          FROM g ORDER BY doc_id""",
+    "q77_bpe_tokenize" ->
+      s"""WITH seg AS (SELECT word, len(pieces) AS n_pieces
+           FROM ${rel("bpe_seg_table")}),
+         ev AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 5000000,
+             text || ' lowest newestest unseenword'
+           FROM documents WHERE doc_id % 7 = 1),
+         tok AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+           FROM ev)
+         SELECT t.doc_id, count(*) AS n_words,
+           CAST(sum(s.n_pieces) AS BIGINT) AS n_bpe_tokens
+         FROM tok t JOIN seg s USING (word)
+         GROUP BY 1 ORDER BY 1""",
     "q76_bpe_train" ->
       s"""WITH st AS (SELECT rank, word, cnt, pieces
            FROM ${rel("bpe_stages")}),

@@ -82,6 +82,43 @@ object BpeTrain {
       applyMerge(p, m.lhs, m.rhs)
     }
 
+  /** Per-DISTINCT-word segmentation table for a corpus: the right
+    * shape for applying a tokenizer at scale — the iterative merge
+    * application (a boundary UDF: inherently sequential string
+    * surgery) runs once per distinct word of the target corpus
+    * (vocabulary-bounded), never once per occurrence; the
+    * corpus-scale side stays a broadcast join against this table.
+    * Handles words unseen at training time the same way trainers do:
+    * base symbols + whatever learned merges apply.
+    */
+  def segmentTable(words: DataFrame, wordCol: String,
+                   merges: Seq[BpeMerge]): DataFrame = {
+    val sp = words.sparkSession
+    val bc = sp.sparkContext.broadcast(merges.toVector)
+    val segUdf = udf((w: String) => segmentWord(w, bc.value))
+    words.select(col(wordCol).as("word")).distinct()
+      .select(col("word"), segUdf(col("word")).as("pieces"))
+  }
+
+  /** Tokenize a corpus with a learned merge list: per-doc word and
+    * BPE-piece counts (the sequence-length accounting every training
+    * pipeline needs before packing/chunking). One distinct-words
+    * aggregation + one broadcast join + one partial-aggregated sum —
+    * no per-row UDF on the corpus path.
+    */
+  def bpeTokenize(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[BpeMerge]): DataFrame = {
+    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+    val seg = segmentTable(words, "word", merges)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
+    docs.select(col(idCol).as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))
+      .select(col("doc").as(idCol), col("n_words"), col("n_bpe_tokens"))
+  }
+
   /** Trained model: the merge list, per-rank segmentation states (the
     * evidence each merge was the argmax of — what the oracle
     * recomputes), final word segmentations, and the number of distinct

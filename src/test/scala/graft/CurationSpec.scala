@@ -190,6 +190,32 @@ class CurationSpec extends AnyFunSuite {
     assert(capped.merges == Seq(operators.BpeMerge(0, "z", "z</w>", 2L)))
   }
 
+  test("bpe: segmentTable matches train segments in-vocab and segmentWord OOV") {
+    import spark.implicits._
+    import operators.BpeTrain
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val train = Seq((0L, text)).toDF("doc_id", "text")
+    val m = BpeTrain.train(train, "text", nMerges = 5)
+    val eval = Seq((0L, text + " lowest lowest")).toDF("doc_id", "text")
+    val words = eval.select(
+      explode(operators.TextOps.tokens(col("text"))).as("word"))
+    val table = BpeTrain.segmentTable(words, "word", m.merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // one row per DISTINCT word, not per occurrence
+    assert(table.size == 5)
+    // in-vocab words segment exactly as the trained model says
+    m.segments.foreach(s => assert(table(s.word) == s.pieces.toVector))
+    // the OOV word goes through base symbols + applicable merges
+    assert(table("lowest") == BpeTrain.segmentWord("lowest", m.merges))
+    // corpus tokenization: hand-checked counts on the eval doc
+    val got = BpeTrain.bpeTokenize(eval, "doc_id", "text", m.merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 16 train words + 2x lowest = 18 words; pieces: low=2x5, lower=4x2
+    // (lo,w,e,r</w>), newest=2x6, widest=4x3, lowest=3x2
+    assert(got.toSeq == Seq((0L, 18L, 5 * 2 + 2 * 4 + 6 * 2 + 3 * 4 + 2 * 3)))
+  }
+
   // ---------------- quality classifier ----------------
 
   test("classifier separates junk from prose with a hand-trained table") {
