@@ -387,6 +387,34 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("corpus mix keep-path is map-only; classifier and BPE broadcast their vocab sides") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the mix's totals aggregation runs at build time (bounded); the
+    // RETURNED kept-docs relation must be a pure map-side filter
+    val mixPlan = operators.Mixing.mixToTokenBudget(docs, "doc_id", "source",
+        "text", Map("src0" -> 300L, "src1" -> 500L), "s")
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange"),
+      s"mix keep-path shuffles — it must stay map-only:\n$mixPlan")
+    // classifier: weights join broadcast, per-doc sum partial-aggregated,
+    // exactly one hash exchange (the doc rollup)
+    val w = operators.Classifier.synthWeights(docs.limit(50), "doc_id", "text")
+    val clfPlan = operators.Classifier.scoreQuantized(docs, w, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(clfPlan.contains("BroadcastHashJoin"), clfPlan)
+    assert(!clfPlan.contains("SortMergeJoin"),
+      s"weights join degraded to sort-merge:\n$clfPlan")
+    assert(clfPlan.contains("partial_sum") || clfPlan.contains("HashAggregate"),
+      s"per-doc sum lost map-side partial aggregation:\n$clfPlan")
+    // BPE tokenize: segmentation table joins broadcast; no sort-merge
+    val merges = Seq(operators.BpeMerge(0, "t", "h", 2L))
+    val bpePlan = operators.BpeTrain.bpeTokenize(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(bpePlan.contains("BroadcastHashJoin") &&
+      !bpePlan.contains("SortMergeJoin"),
+      s"segment-table join degraded:\n$bpePlan")
+  }
+
   test("tf-idf joins broadcast the term-sized sides, never sort-merge") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = operators.Relevance.tfIdfQuantized(docs, "doc_id", "text",
