@@ -981,6 +981,19 @@ object SparkEntry {
         .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))
     }),
+    "q78_shard_assign" -> ((s, dir) => {
+      // deterministic training-data release sharding: shard = md5
+      // uint32 % 16, a pure function of doc_id — byte-identical
+      // shards on any partitioning/cluster/re-run; map-only (writers
+      // partitionBy the column). Output = per-shard doc/token stats
+      operators.Mixing.assignShards(
+        t(s, dir, "documents"), "doc_id", nShards = 16, salt = "s78")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(operators.TextOps.tokens(col("text"))))
+            .as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
     "q75_quality_classifier" -> ((s, dir) => {
       // model-based quality filter, inference side (the fastText-
       // classifier shape): integer linear score over unigram+bigram
@@ -2000,6 +2013,16 @@ object SparkEntry {
            FROM agg)
          SELECT rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
          FROM best WHERE rk = 1 ORDER BY rank""",
+    "q78_shard_assign" ->
+      """WITH sh AS (SELECT
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+               || ':s78'), 1, 8)) AS BIGINT) % 16 AS INT) AS shard,
+             text
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             AS BIGINT) AS n_tokens
+         FROM sh GROUP BY 1 ORDER BY 1""",
     "q75_quality_classifier" ->
       """WITH tok AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -73,4 +73,26 @@ object Mixing {
     Sampling.stratifiedSample(df, keyCol, sourceCol, rates,
       defaultRate = 0.0, salt = salt)
   }
+
+  /** Deterministic shard assignment for a training-data release
+    * (the WebDataset/tar-shard shape): shard(key) = uint32(first 8
+    * md5 hex of "key:salt") % nShards — a pure function of the data,
+    * so shard membership is identical on any partitioning, cluster
+    * size, or engine, and a re-run of the release produces
+    * byte-identical shards. Map-only; hashing balances shards to
+    * multinomial noise without a sort. Downstream writers partition
+    * by the column (`.write.partitionBy(shardCol)`) — one shuffle-free
+    * pass at any scale.
+    */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = "graft",
+                   shardCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(!df.columns.contains(shardCol),
+      s"input already has a '$shardCol' column")
+    df.withColumn(shardCol,
+      (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("long") % nShards)
+        .cast("int"))
+  }
 }

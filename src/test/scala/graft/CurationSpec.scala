@@ -135,6 +135,31 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.subsetOf(more))
   }
 
+  test("shard assignment: deterministic, balanced, map-pure") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i => (i, "x")).toDF("id", "text")
+    val a = operators.Mixing.assignShards(docs, "id", nShards = 8, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // partitioning-independent membership
+    val b = operators.Mixing.assignShards(docs.repartition(13), "id", 8, "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a == b)
+    assert(a.values.toSet.subsetOf((0 until 8).toSet))
+    // balanced to multinomial noise: 500 +- 4 sigma per shard
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(n =>
+      math.abs(n - 500) < 4 * math.sqrt(4000 * (1.0 / 8) * (7.0 / 8))))
+    // a different salt reshuffles membership
+    val c = operators.Mixing.assignShards(docs, "id", 8, "t")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(c != a)
+    // guard rails
+    assertThrows[IllegalArgumentException](
+      operators.Mixing.assignShards(docs, "id", 0))
+    assertThrows[IllegalArgumentException](operators.Mixing.assignShards(
+      operators.Mixing.assignShards(docs, "id", 2), "id", 2))
+  }
+
   // ---------------- BPE vocabulary induction ----------------
 
   test("bpe: classic Sennrich corpus learns the hand-computed merges") {

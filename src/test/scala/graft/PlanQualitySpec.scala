@@ -396,6 +396,11 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!mixPlan.contains("Exchange"),
       s"mix keep-path shuffles — it must stay map-only:\n$mixPlan")
+    // shard assignment must be a pure projection (writers partitionBy)
+    val shardPlan = operators.Mixing.assignShards(docs, "doc_id", 16)
+      .queryExecution.executedPlan.toString
+    assert(!shardPlan.contains("Exchange"),
+      s"shard assignment shuffles — it must stay map-only:\n$shardPlan")
     // classifier: weights join broadcast, per-doc sum partial-aggregated,
     // exactly one hash exchange (the doc rollup)
     val w = operators.Classifier.synthWeights(docs.limit(50), "doc_id", "text")
