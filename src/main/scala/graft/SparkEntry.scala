@@ -119,7 +119,8 @@ object SparkEntry {
       operators.BpeTrain.BpeModel]
   def bpeModel(s: SparkSession, dir: String): operators.BpeTrain.BpeModel =
     bpeModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      operators.BpeTrain.train(t(s, dir, "documents"), "text", nMerges = 40))
+      operators.BpeTrain.train(t(s, dir, "documents"), "text", nMerges = 40,
+        recordStages = true))
 
   /** q77 eval corpus: the training corpus plus planted docs carrying
     * words unseen at training time (the OOV path through

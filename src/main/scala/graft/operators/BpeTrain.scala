@@ -28,9 +28,11 @@ case class BpeWordSeg(word: String, cnt: Long, pieces: Seq[String])
   * vocabulary-bounded (millions of rows at web scale, the q48/DimIndex
   * bounded-collect regime) — this is also how production BPE trainers
   * are structured: corpus scan once, merge loop over word counts. A
-  * `maxWords` cap (count-desc, word-asc tie-break) bounds the loop
-  * observably for adversarial corpora where the distinct-word table
-  * itself is huge; dropped words are counted, never silent.
+  * `maxWords` cap (count-desc, word-asc tie-break, applied as an
+  * in-plan top-K so the driver never sees the excess) bounds both the
+  * collect and the loop for adversarial corpora where the
+  * distinct-word table itself is huge; dropped words are counted,
+  * never silent.
   *
   * Determinism: merge selection is (pair count desc, lhs asc, rhs asc)
   * — the corpus is the only input, so the learned merges are identical
@@ -136,20 +138,27 @@ object BpeTrain {
 
   /** Train `nMerges` merges over the corpus; stop early when the best
     * remaining pair occurs fewer than `minPairCount` times (a merge
-    * seen once generalizes to nothing).
+    * seen once generalizes to nothing). `recordStages` additionally
+    * snapshots the per-rank segmentation states (nMerges × vocabulary
+    * rows — the oracle-evidence relation, off by default so plain
+    * training callers don't pay for it).
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
             minPairCount: Long = 2L,
-            maxWords: Int = 1 << 20): BpeModel = {
+            maxWords: Int = 1 << 20,
+            recordStages: Boolean = false): BpeModel = {
     require(nMerges >= 0, "nMerges must be >= 0")
     require(minPairCount >= 1, "minPairCount must be >= 1")
     require(maxWords >= 1, "maxWords must be >= 1")
-    // bounded collect: one row per distinct word (see scaladoc)
-    val wcAll = wordCounts(docs, textCol)
+    // the cap is applied IN the plan (top-K on count desc, word asc —
+    // TakeOrderedAndProject, no full sort), so the driver never holds
+    // more than maxWords rows even when the distinct-word table is
+    // adversarially huge; the count() pays one extra aggregate job
+    // for the droppedWords observability
+    val wcDf = wordCounts(docs, textCol)
+    val totalWords = wcDf.count()
+    val wc = wcDf.orderBy(col("cnt").desc, col("word")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val wc =
-      if (wcAll.length <= maxWords) wcAll
-      else wcAll.sortBy { case (w, c) => (-c, w) }.take(maxWords)
     var segs = wc.map { case (w, c) => (w, c, baseSymbols(w)) }
 
     val merges = Vector.newBuilder[BpeMerge]
@@ -177,7 +186,7 @@ object BpeTrain {
         else {
           val ((lhs, rhs), c) = best
           // snapshot the state this merge was chosen from
-          segs.foreach { case (w, cnt, p) =>
+          if (recordStages) segs.foreach { case (w, cnt, p) =>
             stages += BpeStageRow(r, w, cnt, p)
           }
           merges += BpeMerge(r, lhs, rhs, c)
@@ -191,6 +200,6 @@ object BpeTrain {
     BpeModel(merges.result(),
       stages.result(),
       segs.map { case (w, c, p) => BpeWordSeg(w, c, p) }.toVector,
-      droppedWords = (wcAll.length - wc.length).toLong)
+      droppedWords = totalWords - wc.length)
   }
 }

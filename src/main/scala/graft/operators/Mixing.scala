@@ -54,10 +54,11 @@ object Mixing {
       totals.get(source).map { total =>
         // one IEEE division of exact integers — bit-identical in any
         // engine; min-clamp BEFORE quantization so over-asked sources
-        // (target > available) keep everything
+        // (target > available) keep everything. rate_q shares
+        // Sampling's quantizer so the advertised threshold can never
+        // drift from the keep predicate's.
         val rate = math.min(1.0, target.toDouble / total.toDouble)
-        val q = math.min(math.round(rate * 4294967296.0), 4294967296L)
-        source -> (rate, q)
+        source -> (rate, Sampling.rateQuantized(rate))
       }
     }
   }

@@ -24,13 +24,22 @@ object Sampling {
     * rate >= 1 returns "g", which sorts after every hex digit, so the
     * predicate keeps all rows.
     */
-  def rateThreshold(rate: Double): String = {
+  /** round(rate·2^32) capped at 2^32 — the ONE definition of the
+    * quantized rate both the threshold predicate and any
+    * observability column (Mixing's rate_q) derive from, so they
+    * cannot drift apart.
+    */
+  def rateQuantized(rate: Double): Long = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    val q = math.round(rate * 4294967296.0)
+    math.min(math.round(rate * 4294967296.0), 4294967296L)
+  }
+
+  def rateThreshold(rate: Double): String = {
+    val q = rateQuantized(rate)
     // a rate rounding up to 2^32 would format as NINE hex digits, and
     // the longer string compares LESS than every 8-digit prefix
     // (lexicographic "1..." < "f...") — i.e. it would keep nothing.
-    // Any q >= 2^32 means keep-all.
+    // q = 2^32 means keep-all.
     if (q >= 4294967296L) "g" else f"$q%08x"
   }
 

@@ -113,6 +113,65 @@ object MinHashHelper {
   }
 }
 
+/** Shared token-span scan + per-window hash fold for the span-based
+  * one-pass expressions (ShinglesHelper, WindowHashesHelper) — ONE
+  * definition of the tokenization convention (trim+lower, \s+ split,
+  * empty text ≙ one empty token) and of the splitmix-style window
+  * mixing, so a change to either cannot silently diverge between the
+  * forms the parity specs pin. SimHashHelper deliberately keeps its
+  * own streaming loop (no span lists — allocation-free by design).
+  */
+object TokenWindowHash {
+  final class Spans(val s: String,
+                    val starts: java.util.ArrayList[Integer],
+                    val ends: java.util.ArrayList[Integer]) {
+    /** max(token count, 1): empty text behaves like `split`'s single
+      * empty token.
+      */
+    def nTok: Int = math.max(starts.size, 1)
+  }
+
+  /** Whitespace token spans over the trimmed+lowercased text. */
+  def scan(u: UTF8String): Spans = {
+    val s = TextNorm.lower(u)
+    val len = s.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    new Spans(s, starts, ends)
+  }
+
+  /** Hash of tokens [from, until) joined by one space — identical to
+    * xxhash-free splitmix folding of the joined window string, with
+    * the out-of-range guard realizing the empty-token convention.
+    */
+  def hashWindow(sp: Spans, from: Int, until: Int): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var t = from
+    while (t < until) {
+      if (t > from) h = (h ^ ' '.toLong) * 0xBF58476D1CE4E5B9L
+      if (t < sp.starts.size) {
+        var c = sp.starts.get(t).intValue()
+        val e = sp.ends.get(t).intValue()
+        while (c < e) {
+          h = (h ^ sp.s.charAt(c).toLong) * 0xBF58476D1CE4E5B9L
+          c += 1
+        }
+      }
+      t += 1
+    }
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+}
+
 object ShinglesHelper {
   /** One-pass hashed word n-gram shingles, replicating the declarative
     * form's semantics exactly: tokens = whitespace split of the
@@ -126,41 +185,13 @@ object ShinglesHelper {
     * a 5k-doc pass); this is O(chars·n) with no allocation per shingle.
     */
   def eval(u: UTF8String, n: Int): ArrayData = {
-    val s = TextNorm.lower(u)
-    val len = s.length
-    // token spans
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    while (i < len) {
-      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
-      val st = i
-      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
-      if (i > st) { starts.add(st); ends.add(i) }
-    }
-    val nTok = math.max(starts.size, 1) // empty text ≙ one empty token
+    val sp = TokenWindowHash.scan(u)
+    val nTok = sp.nTok
     val nSh = math.max(nTok - n, 0) + 1
     val out = new Array[Long](nSh)
     var p = 0
     while (p < nSh) {
-      var h = 0x9E3779B97F4A7C15L
-      var t = p
-      val tEnd = math.min(p + n, nTok)
-      while (t < tEnd) {
-        if (t > p) h = (h ^ ' '.toLong) * 0xBF58476D1CE4E5B9L
-        if (t < starts.size) {
-          var c = starts.get(t).intValue()
-          val e = ends.get(t).intValue()
-          while (c < e) {
-            h = (h ^ s.charAt(c).toLong) * 0xBF58476D1CE4E5B9L
-            c += 1
-          }
-        }
-        t += 1
-      }
-      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-      out(p) = h ^ (h >>> 31)
+      out(p) = TokenWindowHash.hashWindow(sp, p, math.min(p + n, nTok))
       p += 1
     }
     // distinct (order-insensitive consumers: jaccard set ops, minhash)
@@ -205,40 +236,12 @@ object WindowHashesHelper {
     * per row; this is one allocation-free scan.
     */
   def eval(u: UTF8String, k: Int): ArrayData = {
-    val s = TextNorm.lower(u)
-    val len = s.length
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    while (i < len) {
-      while (i < len && TextNorm.isWs(s.charAt(i))) i += 1
-      val st = i
-      while (i < len && !TextNorm.isWs(s.charAt(i))) i += 1
-      if (i > st) { starts.add(st); ends.add(i) }
-    }
-    val nTok = math.max(starts.size, 1) // empty text ≙ one empty token
-    val nWin = math.max(nTok - k + 1, 0)
+    val sp = TokenWindowHash.scan(u)
+    val nWin = math.max(sp.nTok - k + 1, 0)
     val out = new Array[Long](nWin)
     var p = 0
     while (p < nWin) {
-      var h = 0x9E3779B97F4A7C15L
-      var t = p
-      val tEnd = p + k
-      while (t < tEnd) {
-        if (t > p) h = (h ^ ' '.toLong) * 0xBF58476D1CE4E5B9L
-        if (t < starts.size) {
-          var c = starts.get(t).intValue()
-          val e = ends.get(t).intValue()
-          while (c < e) {
-            h = (h ^ s.charAt(c).toLong) * 0xBF58476D1CE4E5B9L
-            c += 1
-          }
-        }
-        t += 1
-      }
-      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-      out(p) = h ^ (h >>> 31)
+      out(p) = TokenWindowHash.hashWindow(sp, p, p + k)
       p += 1
     }
     new GenericArrayData(out)

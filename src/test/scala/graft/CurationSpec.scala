@@ -170,7 +170,7 @@ class CurationSpec extends AnyFunSuite {
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
     val docs = Seq((0L, text)).toDF("doc_id", "text")
-    val m = BpeTrain.train(docs, "text", nMerges = 5)
+    val m = BpeTrain.train(docs, "text", nMerges = 5, recordStages = true)
     assert(m.merges.map(x => (x.rank, x.lhs, x.rhs, x.pair_count)) == Seq(
       (0, "e", "s", 9L),        // ties (e,s)/(s,t</w>) break lexicographic
       (1, "es", "t</w>", 9L),
@@ -205,8 +205,13 @@ class CurationSpec extends AnyFunSuite {
     assert(BpeTrain.baseSymbols("") == Vector("</w>"))
     // every pair is a singleton -> minPairCount=2 stops before merge 0
     val uniq = Seq((0L, "ab cd")).toDF("doc_id", "text")
-    val m0 = BpeTrain.train(uniq, "text", nMerges = 5)
+    val m0 = BpeTrain.train(uniq, "text", nMerges = 5, recordStages = true)
     assert(m0.merges.isEmpty && m0.stages.isEmpty)
+    // stages stay empty unless requested (plain training callers
+    // don't pay the nMerges x vocab snapshot)
+    val docsS = Seq((0L, "aa aa")).toDF("doc_id", "text")
+    val mS = BpeTrain.train(docsS, "text", nMerges = 1, minPairCount = 1L)
+    assert(mS.merges.nonEmpty && mS.stages.isEmpty)
     // cap keeps the highest-count word and counts the dropped rest
     val capped = BpeTrain.train(
       Seq((0L, "zz zz yy")).toDF("doc_id", "text"),

@@ -366,7 +366,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // (a boilerplate window hash is a hot key by construction)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+    assert(plan.contains("partial_count"),
       s"window-hash count lost map-side partial aggregation:\n$plan")
     // gaps-and-islands windows are PARTITIONED BY doc_id: per-task state
     // is one document's windows, not a corpus-scale key
@@ -409,7 +409,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(clfPlan.contains("BroadcastHashJoin"), clfPlan)
     assert(!clfPlan.contains("SortMergeJoin"),
       s"weights join degraded to sort-merge:\n$clfPlan")
-    assert(clfPlan.contains("partial_sum") || clfPlan.contains("HashAggregate"),
+    assert(clfPlan.contains("partial_sum"),
       s"per-doc sum lost map-side partial aggregation:\n$clfPlan")
     // BPE tokenize: segmentation table joins broadcast; no sort-merge
     val merges = Seq(operators.BpeMerge(0, "t", "h", 2L))
