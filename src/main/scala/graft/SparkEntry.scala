@@ -982,6 +982,33 @@ object SparkEntry {
         .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))
     }),
+    "q79_domain_cap" -> ((s, dir) => {
+      // URL curation: the corpus carries no URLs, so both engines
+      // plant the same two variants per doc (case/scheme/www/query/
+      // fragment noise) that canonicalize to one form; per-domain
+      // stats + the deterministic docs-per-domain cap (md5 rank) —
+      // the crawl diversity control
+      val docs = t(s, dir, "documents")
+      val url = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.com/p/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(
+          concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p/"), (col("doc_id") % 50).cast("string"),
+            lit("#frag")))
+      val u = docs.select(col("doc_id"), url.as("url"))
+      val d = u.withColumn("domain", operators.UrlOps.host(col("url")))
+        .withColumn("norm", operators.UrlOps.normalizeUrl(col("url")))
+      val stats = d.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm")).as("n_urls"))
+      val kept = operators.UrlOps.capPerDomain(u, "doc_id", "url",
+          maxPerDomain = 30, salt = "s79")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
+      stats.join(kept, Seq("domain")).orderBy(col("domain"))
+    }),
     "q78_shard_assign" -> ((s, dir) => {
       // deterministic training-data release sharding: shard = md5
       // uint32 % 16, a pure function of doc_id — byte-identical
@@ -2014,6 +2041,31 @@ object SparkEntry {
            FROM agg)
          SELECT rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
          FROM best WHERE rk = 1 ORDER BY rank""",
+    "q79_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.com/p/'
+                 || (doc_id % 50) || '?utm_source=feed&id=' || doc_id
+               ELSE 'http://site' || (doc_id % 7) || '.example.com/p/'
+                 || (doc_id % 50) || '#frag' END AS url
+           FROM documents),
+         d AS (SELECT doc_id,
+             regexp_replace(regexp_replace(lower(url),
+               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '[?#].*$', '') AS norm
+           FROM u),
+         h AS (SELECT doc_id, norm,
+             regexp_extract(norm, '^([^/]+)', 1) AS domain FROM d),
+         stats AS (SELECT domain, count(*) AS n_docs,
+             count(DISTINCT norm) AS n_urls FROM h GROUP BY 1),
+         kept AS (SELECT domain, doc_id FROM (
+             SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s79'), doc_id) AS rk
+             FROM h)
+           WHERE rk <= 30),
+         ks AS (SELECT domain, count(*) AS n_kept,
+             min(doc_id) AS first_kept FROM kept GROUP BY 1)
+         SELECT s.domain, s.n_docs, s.n_urls, k.n_kept, k.first_kept
+         FROM stats s JOIN ks k USING (domain) ORDER BY 1""",
     "q78_shard_assign" ->
       """WITH sh AS (SELECT
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)

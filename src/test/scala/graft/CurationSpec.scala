@@ -135,6 +135,35 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.subsetOf(more))
   }
 
+  test("url canonicalization and per-domain cap") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM/A/B?q=1#f", "example.com/a/b", "example.com"),
+      ("http://site.org/p", "site.org/p", "site.org"),
+      ("s3://bucket/key?x", "bucket/key", "bucket"),
+      // no scheme: left as-is (www. only strips after a scheme)
+      ("www.foo.com/a", "www.foo.com/a", "www.foo.com"),
+      ("example.com", "example.com", "example.com"))
+    val got = cases.map(_._1).toDF("url")
+      .select(operators.UrlOps.normalizeUrl(col("url")),
+        operators.UrlOps.host(col("url")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == cases.map(c => (c._2, c._3)))
+    // cap: 40 docs on one host, 10 on another; 25 kept / all kept
+    val docs = (0L until 50L).map(i =>
+      (i, if (i < 40) "http://big.com/" + i else "http://small.com/" + i))
+      .toDF("id", "url")
+    val kept = operators.UrlOps.capPerDomain(docs, "id", "url", 25, "s")
+    val byDomain = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain == Map("big.com" -> 25L, "small.com" -> 10L))
+    // deterministic under repartition
+    val again = operators.UrlOps.capPerDomain(
+      docs.repartition(7), "id", "url", 25, "s")
+    assert(again.collect().map(_.getLong(0)).toSet ==
+      kept.collect().map(_.getLong(0)).toSet)
+  }
+
   test("shard assignment: deterministic, balanced, map-pure") {
     import spark.implicits._
     val docs = (0L until 4000L).map(i => (i, "x")).toDF("id", "text")
