@@ -982,6 +982,38 @@ object SparkEntry {
         .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))
     }),
+    "q80_html_extract" -> ((s, dir) => {
+      // HTML -> training text: both engines wrap each doc's text in
+      // the same page chrome (comment, style, script, nav, heading,
+      // javascript/policy boilerplate, entity-encoded body) and the
+      // extractor must strip it back out; %97 docs get a lorem-ipsum
+      // tail and %101 docs a curly-brace code tail to exercise the
+      // C4 doc-level drops
+      val docs = t(s, dir, "documents")
+      val body = when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" Lorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 101 === 0,
+          concat(col("text"), lit(" if (x) { y(); } end.")))
+        .otherwise(col("text"))
+      val enc = replace(replace(replace(body,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><!-- hdr --><head><style>p{margin:0}</style>" +
+          "<script type=\"text/javascript\">if(a&&b){track();}</script>" +
+          "</head><body><div class=\"nav\">Home | About | Contact</div>" +
+          "<h1>Doc &#39;"),
+        col("doc_id").cast("string"),
+        lit("&#39;</h1><p>"), enc,
+        lit("</p><p>Please enable JavaScript to view the comments.</p>" +
+          "<div class=\"footer\">(c) 2024 Example Corp. All rights " +
+          "reserved. See our privacy policy for details.</div>" +
+          "</body></html>"))
+      operators.HtmlOps.extract(
+          docs.select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"), col("raw_lines"), col("kept_lines"),
+          col("doc_keep"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
     "q79_domain_cap" -> ((s, dir) => {
       // URL curation: the corpus carries no URLs, so both engines
       // plant the same two variants per doc (case/scheme/www/query/
@@ -2041,6 +2073,68 @@ object SparkEntry {
            FROM agg)
          SELECT rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
          FROM best WHERE rk = 1 ORDER BY rank""",
+    "q80_html_extract" ->
+      """WITH base AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0
+                    THEN text || ' Lorem ipsum dolor sit amet.'
+                  WHEN doc_id % 101 = 0
+                    THEN text || ' if (x) { y(); } end.'
+                  ELSE text END AS body
+           FROM documents),
+         enc AS (SELECT doc_id,
+             replace(replace(replace(body, '&', '&amp;'),
+               '<', '&lt;'), '>', '&gt;') AS e
+           FROM base),
+         h AS (SELECT doc_id,
+             '<html><!-- hdr --><head><style>p{margin:0}</style>'
+             || '<script type="text/javascript">if(a&&b){track();}</script>'
+             || '</head><body><div class="nav">Home | About | Contact</div>'
+             || '<h1>Doc &#39;' || doc_id || '&#39;</h1><p>' || e
+             || '</p><p>Please enable JavaScript to view the comments.</p>'
+             || '<div class="footer">(c) 2024 Example Corp. All rights '
+             || 'reserved. See our privacy policy for details.</div>'
+             || '</body></html>' AS html
+           FROM enc),
+         s AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(html,
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/blockquote)\b[^>]*>',
+                 chr(10), 'g'),
+                 '(?s)<[^>]*>', ' ', 'g') AS t1
+           FROM h),
+         dec AS (SELECT doc_id,
+             regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(t1,
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                 '&amp;', '&'),
+               '[ \t\r]+', ' ', 'g') AS t2
+           FROM s),
+         ln AS (SELECT doc_id,
+             list_filter(list_transform(string_split(t2, chr(10)),
+               x -> trim(x)), x -> x <> '') AS lns
+           FROM dec),
+         k AS (SELECT doc_id, lns,
+             list_filter(lns, l ->
+               len(string_split(l, ' ')) >= 5
+               AND regexp_matches(l, '[.!?"]$')
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(lower(l), 'terms of use')
+               AND NOT contains(lower(l), 'privacy policy')
+               AND NOT contains(lower(l), 'cookie policy')
+               AND NOT contains(lower(l), 'uses cookies')) AS kept
+           FROM ln)
+         SELECT doc_id,
+           len(lns) AS raw_lines,
+           len(kept) AS kept_lines,
+           (NOT contains(coalesce(array_to_string(lns, chr(10)), ''), '{')
+            AND NOT contains(lower(coalesce(array_to_string(lns, chr(10)), '')),
+              'lorem ipsum')) AS doc_keep,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+         FROM k ORDER BY doc_id""",
     "q79_domain_cap" ->
       """WITH u AS (SELECT doc_id,
              CASE WHEN doc_id % 2 = 0

@@ -135,6 +135,42 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.subsetOf(more))
   }
 
+  test("html extraction + c4 line filter") {
+    import spark.implicits._
+    val html = "<html><!--c--><head><style>p{a:b}</style>" +
+      "<script>if(a&&b){x()}</script></head><body><div>Nav | Bar</div>" +
+      "<p>Hello &amp; welcome, 5 &lt; 7 &gt; 3, &quot;ok&quot; today.</p><br>" +
+      "<p>Enable JavaScript to continue reading this page.</p>" +
+      "</body></html>"
+    val out = operators.HtmlOps.extract(
+      Seq((1L, html)).toDF("doc_id", "html"), "html")
+      .select("raw_lines", "kept_lines", "doc_keep", "clean_text")
+      .collect().head
+    // 3 visible lines: nav (no terminal punct), prose (kept),
+    // javascript boilerplate (policy-dropped); script's braces are
+    // gone before the doc-level curly check
+    assert(out.getLong(0) == 3L)
+    assert(out.getLong(1) == 1L)
+    assert(out.getBoolean(2))
+    assert(out.getString(3) == "Hello & welcome, 5 < 7 > 3, \"ok\" today.")
+    // doc-level drops: page's own curly brace / lorem ipsum
+    val docs = Seq(
+      (1L, "<p>Real prose that should pass the filter today.</p>"),
+      (2L, "<p>Some code follows here { not prose } sadly.</p>"),
+      (3L, "<p>Lorem Ipsum dolor sit amet placeholder text.</p>"))
+      .toDF("doc_id", "html")
+    val keeps = operators.HtmlOps.extract(docs, "html")
+      .orderBy("doc_id").select("doc_keep")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(keeps == Seq(true, false, false))
+    // entity decode order: &amp;lt; is the LITERAL string "&lt;"
+    val lit2 = operators.HtmlOps.extract(
+      Seq((1L, "<p>Write &amp;lt; to show a less-than sign here.</p>"))
+        .toDF("doc_id", "html"), "html")
+      .select("clean_text").collect().head.getString(0)
+    assert(lit2 == "Write &lt; to show a less-than sign here.")
+  }
+
   test("url canonicalization and per-domain cap") {
     import spark.implicits._
     val cases = Seq(

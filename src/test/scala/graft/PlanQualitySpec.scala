@@ -356,6 +356,22 @@ class PlanQualitySpec extends AnyFunSuite {
       !dedup.contains("BroadcastNestedLoopJoin"), dedup)
   }
 
+  test("html extraction is map-only and runs the strip chain once") {
+    import spark.implicits._
+    val docs = Seq((0L, "<p>a&amp;b today is fine here ok.</p>"))
+      .toDF("doc_id", "html")
+    val out = operators.HtmlOps.extract(docs, "html")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"html extraction must be map-only (no shuffle):\n$plan")
+    // the staged projections must NOT have been collapsed back into
+    // one project that re-runs the 6-regex strip chain per output
+    // slot (HOF subtrees defeat codegen subexpression elimination)
+    val nStrips = "<!--".r.findAllMatchIn(plan).size
+    assert(nStrips <= 1,
+      s"strip chain duplicated $nStrips times in the plan:\n$plan")
+  }
+
   test("duplicate spans: equi-joins only; the one window is per-doc partitioned") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e f a b c d e f")).toDF("doc_id", "text")
