@@ -162,6 +162,25 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  // SemDeDup cell assignment memoized + persisted per (session,
+  // sfDir): the k-means FIT is not bit-stable across re-runs, so the
+  // sem_cells dump and q81 must consume the same assignment (the
+  // verdicts derived from a fixed assignment are deterministic —
+  // quantized cosine)
+  private val semCellsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def semCells(s: SparkSession, dir: String): DataFrame =
+    semCellsCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      operators.Similarity.semDedupCells(
+        docEmbeddings(s, dir), "doc_id", "vec", nClusters = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** q35/q81's document embeddings (deterministic hash features). */
+  def docEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      operators.TextOps.hashEmbedding(col("text"), 64).as("vec"))
+
   /** LSH candidates with q18's parameters (pure-hash deterministic —
     * dump and query recompute identical rows).
     */
@@ -254,9 +273,9 @@ object SparkEntry {
     "doc_fp" -> ((s, dir) => q63Docs(s, dir)
       .select(col("doc_id"),
         operators.TextOps.fingerprint64(col("text")).as("fp"))),
-    "doc_embeddings" -> ((s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"),
-        operators.TextOps.hashEmbedding(col("text"), 64).as("vec"))),
+    "doc_embeddings" -> ((s, dir) => docEmbeddings(s, dir)),
+    "sem_cells" -> ((s, dir) => semCells(s, dir)
+      .select(col("id").as("doc_id"), col("cell"))),
     "ss_versioned_ann" -> ((s, _) => ssVersionedAnn(s)
       .select(col("conv_id"), col("turn_idx"), col("epoch"), col("highest_tier"))),
     "video_frames" -> ((s, _) => videoFrames(s)),
@@ -981,6 +1000,18 @@ object SparkEntry {
       bpeModel(s, dir).mergesDf(s)
         .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))
+    }),
+    "q81_semdedup" -> ((s, dir) => {
+      // SemDeDup over deterministic text-hash embeddings: k-means
+      // cells (memoized assignment — the fit is not bit-stable, the
+      // derived verdicts are), in-cell quantized-cosine duplicates at
+      // the q35 threshold, greedy keep-first verdicts
+      operators.Similarity.semDedupVerdicts(
+          semCells(s, dir), docEmbeddings(s, dir), "doc_id", "vec",
+          tau = 0.8)
+        .select(col("id").as("doc_id"), col("cell"), col("capped"),
+          col("n_smaller_dups"), col("keep"))
+        .orderBy(col("doc_id"))
     }),
     "q80_html_extract" -> ((s, dir) => {
       // HTML -> training text: both engines wrap each doc's text in
@@ -2073,6 +2104,33 @@ object SparkEntry {
            FROM agg)
          SELECT rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
          FROM best WHERE rk = 1 ORDER BY rank""",
+    "q81_semdedup" ->
+      s"""WITH e AS (SELECT doc_id, vec FROM ${rel("doc_embeddings")}),
+         c AS (SELECT doc_id, cell FROM ${rel("sem_cells")}),
+         j AS (SELECT c1.doc_id AS lhs, c2.doc_id AS rhs,
+                 e1.vec AS va, e2.vec AS vb
+           FROM c c1 JOIN c c2 ON c1.cell = c2.cell
+                               AND c1.doc_id < c2.doc_id
+           JOIN e e1 ON e1.doc_id = c1.doc_id
+           JOIN e e2 ON e2.doc_id = c2.doc_id),
+         p AS (SELECT lhs, rhs,
+             CAST((SELECT CAST(sum(CAST(round(x.qa * 1000) AS BIGINT) *
+                                   CAST(round(x.qb * 1000) AS BIGINT)) AS BIGINT)
+                   FROM (SELECT unnest(va) AS qa, unnest(vb) AS qb) x) AS DOUBLE)
+             / sqrt(CAST(
+                 (SELECT CAST(sum(CAST(round(x.qa * 1000) AS BIGINT) *
+                                   CAST(round(x.qa * 1000) AS BIGINT)) AS BIGINT)
+                  FROM (SELECT unnest(va) AS qa) x) *
+                 (SELECT CAST(sum(CAST(round(x.qb * 1000) AS BIGINT) *
+                                   CAST(round(x.qb * 1000) AS BIGINT)) AS BIGINT)
+                  FROM (SELECT unnest(vb) AS qb) x) AS DOUBLE)) AS cos
+           FROM j),
+         d AS (SELECT rhs AS doc_id, count(*) AS n_smaller_dups
+           FROM p WHERE cos >= CAST(0.8 AS DOUBLE) GROUP BY 1)
+         SELECT c.doc_id, c.cell, false AS capped,
+           coalesce(d.n_smaller_dups, 0) AS n_smaller_dups,
+           coalesce(d.n_smaller_dups, 0) = 0 AS keep
+         FROM c LEFT JOIN d USING (doc_id) ORDER BY c.doc_id""",
     "q80_html_extract" ->
       """WITH base AS (SELECT doc_id,
              CASE WHEN doc_id % 97 = 0

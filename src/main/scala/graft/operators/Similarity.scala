@@ -113,39 +113,57 @@ object Similarity {
     * touch nProbe/nCentroids of the data, and nothing ever
     * cross-joins. Returns (query_id, query_vec, item_id, item_vec).
     */
-  def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, nCentroids: Int = 16, nProbe: Int = 4,
-                    seed: Long = 7L, maxFitRows: Int = 100000): DataFrame = {
+  /** k-means centroids fit on a bounded sample — the shared front end
+    * of IVF and SemDeDup. Fitting on a cap: clustering quality needs
+    * only a sketch of the density, and a full-corpus fit is a
+    * non-starter at 10^12 rows. limit() (not count()+sample()) bounds
+    * the fit WITHOUT a full pre-scan — LocalLimit short-circuits after
+    * maxFitRows rows, so the fit job touches a handful of input
+    * partitions instead of paying one extra full-corpus pass just to
+    * derive a fraction. The first-partitions bias is the documented
+    * trade; a corpus with pathological partition-order clustering
+    * should pre-shuffle or pass its own maxFitRows.
+    *
+    * Random init, not k-means||: the parallel init runs ~2 extra
+    * distributed passes to seed centroids whose quality neither
+    * consumer needs (IVF probes nProbe > 1 cells and re-ranks exactly;
+    * SemDeDup verifies every candidate with an exact cosine).
+    *
+    * NOTE: distributed float sums make the fit non-bit-stable across
+    * re-runs — the returned centers Array is the frozen, driver-side
+    * truth. Everything derived from it (assignments) IS deterministic.
+    */
+  def fitCentroids(corpus: DataFrame, vecCol: String, k: Int,
+                   seed: Long = 7L,
+                   maxFitRows: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
-    // fit on a capped sample: k-means quality needs only a sketch of the
-    // density, and a full-corpus fit is a non-starter at 10^12 rows.
-    // limit() (not count()+sample()) bounds the fit WITHOUT a full
-    // pre-scan — LocalLimit short-circuits after maxFitRows rows, so
-    // the fit job touches a handful of input partitions instead of
-    // paying one extra full-corpus pass just to derive a fraction. The
-    // first-partitions bias is the documented trade; a corpus with
-    // pathological partition-order clustering should pre-shuffle or
-    // pass its own maxFitRows.
     val feat = corpus.select(col(vecCol)).limit(maxFitRows)
       .withColumn("features", toVec(col(vecCol)))
-    // random init, not k-means||: the parallel init runs ~2 extra
-    // distributed passes to seed centroids whose quality IVF does not
-    // need (cells are probed with nProbe > 1 and re-ranked exactly);
-    // recall is pinned in DataOpsSpec
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
+    new KMeans().setK(k).setSeed(seed)
       .setInitMode("random").setMaxIter(10).fit(feat)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+      .clusterCenters.map(_.toArray)
+  }
 
-    def dist2(a: Seq[Float], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { val d = a(i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    val assignUdf = udf((a: Seq[Float]) =>
-      centers.indices.minBy(i => dist2(a, centers(i))))
+  private def dist2(a: Seq[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-centroid assignment over a frozen centers array (small
+    * closure broadcast; one map, no shuffle).
+    */
+  def nearestCellUdf(centers: Array[Array[Double]]) =
+    udf((a: Seq[Float]) => centers.indices.minBy(i => dist2(a, centers(i))))
+
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, nCentroids: Int = 16, nProbe: Int = 4,
+                    seed: Long = 7L, maxFitRows: Int = 100000): DataFrame = {
+    val centers = fitCentroids(corpus, vecCol, nCentroids, seed, maxFitRows)
+    val assignUdf = nearestCellUdf(centers)
     val probeUdf = udf((a: Seq[Float]) =>
       centers.indices.sortBy(i => dist2(a, centers(i))).take(nProbe))
 
@@ -247,4 +265,83 @@ object Similarity {
               vecCol: String, k: Int = 10, nBits: Int = 12,
               nTables: Int = 4): DataFrame =
     rerankTopK(lshCandidates(corpus, queries, idCol, vecCol, nBits, nTables), k)
+
+  // ------------------------------------------------------------------
+  // SemDeDup (Abbas et al., arXiv 2303.09540): semantic dedup by
+  // embedding — k-means cells partition the corpus, exact
+  // quantized-cosine duplicate detection runs WITHIN each cell only,
+  // and a deterministic greedy keep-first rule picks one survivor per
+  // duplicate relation. The in-cell restriction is the paper's own
+  // recall trade: candidate work is sum(|cell|^2) instead of N^2, and
+  // scaling = more cells (the paper runs 50 k cells on 600 M docs).
+  // ------------------------------------------------------------------
+
+  /** Cell assignment (id, cell): a bounded-sample k-means fit, then
+    * one map over the corpus with the frozen centers in the closure.
+    * The fit is eager and driver-side, so the RETURNED DataFrame is
+    * deterministic under recompute — but two separate `semDedupCells`
+    * calls may fit different centers (distributed float sums);
+    * pipelines that also dump the assignment for audit must reuse ONE
+    * returned relation.
+    */
+  def semDedupCells(corpus: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int = 16, seed: Long = 7L,
+                    maxFitRows: Int = 100000): DataFrame = {
+    val centers = fitCentroids(corpus, vecCol, nClusters, seed, maxFitRows)
+    corpus.select(col(idCol).as("id"),
+      nearestCellUdf(centers)(col(vecCol)).as("cell"))
+  }
+
+  /** Per-doc SemDeDup verdicts from a cell assignment:
+    * (id, cell, capped, n_smaller_dups, keep). A doc is dropped
+    * (keep=false) when some SMALLER id in its cell has quantized
+    * cosine >= tau against it — the greedy keep-first rule, consistent
+    * with `NearDup.dedupKeepFirst`. Candidate pairs carry only
+    * (cell, id) through the cell self-join; vectors are re-attached
+    * per-candidate (payload-light). Cells larger than `maxCell` are
+    * excluded from pairing and their docs all kept — NOT silently:
+    * the `capped` column marks them, so downstream can count/route the
+    * un-deduped residue. At scale, cap hits mean nClusters is too
+    * small for the corpus.
+    */
+  def semDedupVerdicts(cells: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, tau: Double,
+                       maxCell: Int = 1000000): DataFrame = {
+    val a = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // persisted: cell sizes, the pair join's two sides, and the final
+    // verdict join all read the assignment — without a cache the
+    // assignment map (and its upstream scan) executes once per branch
+    val c = CacheRegistry.persistTracked(cells.select(col("id"), col("cell")))
+    // one row per cell — broadcastable by construction
+    val sizes = c.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cell"), (col("n") > maxCell).as("capped"))
+    val flagged = c.join(broadcast(sizes), Seq("cell"))
+    val eligible = flagged.filter(!col("capped"))
+    val cand = eligible.select(col("cell"), col("id").as("lhs"))
+      .join(eligible.select(col("cell"), col("id").as("rhs")), Seq("cell"))
+      .filter(col("lhs") < col("rhs"))
+      .select(col("lhs"), col("rhs"))
+    val dups = cand
+      .join(a.select(col("id").as("lhs"), col("vec").as("va")), Seq("lhs"))
+      .join(a.select(col("id").as("rhs"), col("vec").as("vb")), Seq("rhs"))
+      .filter(quantizedCosine(col("va"), col("vb")) >= tau)
+      .select(col("rhs"))
+    val dupCounts = dups.groupBy(col("rhs").as("id"))
+      .agg(count(lit(1)).as("n_smaller_dups"))
+    flagged.join(dupCounts, Seq("id"), "left")
+      .withColumn("n_smaller_dups",
+        coalesce(col("n_smaller_dups"), lit(0L)))
+      .withColumn("keep", col("n_smaller_dups") === 0L)
+      .select(col("id"), col("cell"), col("capped"),
+        col("n_smaller_dups"), col("keep"))
+  }
+
+  /** One-call SemDeDup: fit + assign + verdicts. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               tau: Double, nClusters: Int = 16, seed: Long = 7L,
+               maxFitRows: Int = 100000, maxCell: Int = 1000000): DataFrame =
+    semDedupVerdicts(
+      semDedupCells(corpus, idCol, vecCol, nClusters, seed, maxFitRows),
+      corpus, idCol, vecCol, tau, maxCell)
 }

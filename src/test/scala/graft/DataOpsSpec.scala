@@ -297,6 +297,47 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("semdedup: in-cell duplicates dropped keep-first; cap is observable") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // identical vectors ALWAYS share a cell (nearest centroid is a
+    // pure function of the vector) and every cross-group cosine is
+    // below tau — so these assertions hold for ANY k-means outcome
+    val rows = Seq(
+      (10L, v(1, 0, 0, 0)), (11L, v(1, 0, 0, 0)), (12L, v(1, 0, 0, 0)),
+      (13L, v(1, 0.5, 0, 0)), (14L, v(1, -0.5, 0, 0)),
+      (20L, v(0, 0, 1, 0)), (21L, v(0, 0, 1, 0)), (22L, v(0, 0, 1, -0.7)))
+    val emb = rows.toDF("doc_id", "vec")
+    val cells = Similarity.semDedupCells(emb, "doc_id", "vec",
+      nClusters = 2, maxFitRows = 100)
+    val verdict = Similarity.semDedupVerdicts(
+        cells, emb, "doc_id", "vec", tau = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(verdict(10L) == ((false, 0L, true)))
+    assert(verdict(11L) == ((false, 1L, false)))
+    assert(verdict(12L) == ((false, 2L, false)))
+    assert(verdict(20L) == ((false, 0L, true)))
+    assert(verdict(21L) == ((false, 1L, false)))
+    assert(verdict(13L)._3 && verdict(14L)._3 && verdict(22L)._3)
+    // determinism: same cells + repartitioned corpus = same verdicts
+    val again = Similarity.semDedupVerdicts(
+        cells, emb.repartition(5), "doc_id", "vec", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(again ==
+      verdict.map { case (id, (_, n, k)) => (id, n, k) }.toSet)
+    // cap: the identical trio's cell has >= 3 members, so maxCell=2
+    // routes it around pairing — its docs are all kept and MARKED
+    val capped = Similarity.semDedupVerdicts(
+        cells, emb, "doc_id", "vec", tau = 0.95, maxCell = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(4)))).toMap
+    Seq(10L, 11L, 12L).foreach { id =>
+      assert(capped(id) == ((true, true)), s"doc $id: ${capped(id)}")
+    }
+  }
+
   test("quality features and langId behave on handcrafted text") {
     val df = docsDf(Seq(
       1L -> "The quick brown fox jumps over the lazy dog and it is fine",

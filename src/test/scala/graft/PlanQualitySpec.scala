@@ -356,6 +356,23 @@ class PlanQualitySpec extends AnyFunSuite {
       !dedup.contains("BroadcastNestedLoopJoin"), dedup)
   }
 
+  test("semdedup pairs via cell equi-join; no quadratic strategy") {
+    import spark.implicits._
+    val emb = (0L until 20L)
+      .map(i => (i, Array.tabulate(4)(j => ((i + j) % 5).toFloat)))
+      .toDF("doc_id", "vec")
+    val cells = (0L until 20L).map(i => (i, (i % 3).toInt))
+      .toDF("id", "cell")
+    val plan = operators.Similarity
+      .semDedupVerdicts(cells, emb, "doc_id", "vec", tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup used a quadratic join strategy:\n$plan")
+    // the per-cell size table must ride a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("html extraction is map-only and runs the strip chain once") {
     import spark.implicits._
     val docs = Seq((0L, "<p>a&amp;b today is fine here ok.</p>"))
