@@ -1001,6 +1001,33 @@ object SparkEntry {
         .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))
     }),
+    "q82_stream_url_dedup" -> ((s, dir) => {
+      // the STREAMING url-dedup operator in batch mode: every doc's
+      // canonical url arrives twice with different noise (query/www/
+      // case vs fragment), at interleaved arrival orders (doc_id%3
+      // rows see the B variant first) — first arrival per canonical
+      // form wins, deterministically
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val base = 1704067200L
+      def mk(idOff: Long, url: org.apache.spark.sql.Column,
+             tsOff: org.apache.spark.sql.Column) =
+        docs.select((col("doc_id") + idOff).as("doc_id"), url.as("url"),
+          timestamp_seconds(lit(base) + col("doc_id") * 2 + tsOff).as("ts"))
+      val urlA = concat(lit("HTTPS://WWW.Site"),
+        (col("doc_id") % 7).cast("string"), lit(".Example.com/p/"),
+        col("doc_id").cast("string"), lit("?utm_source=feed"))
+      val urlB = concat(lit("http://site"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
+        col("doc_id").cast("string"), lit("#frag"))
+      val a = mk(0L, urlA, when(col("doc_id") % 3 === 0, lit(1)).otherwise(lit(0)))
+      val b = mk(9000000L, urlB, when(col("doc_id") % 3 === 0, lit(0)).otherwise(lit(1)))
+      streaming.StreamingPipeline.dedupByUrl(
+          a.unionByName(b).as[streaming.StreamingPipeline.UrlEvent],
+          streaming.StreamingPipeline.StreamConfig())
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    }),
     "q81_semdedup" -> ((s, dir) => {
       // SemDeDup over deterministic text-hash embeddings: k-means
       // cells (memoized assignment — the fit is not bit-stable, the
@@ -2104,6 +2131,30 @@ object SparkEntry {
            FROM agg)
          SELECT rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
          FROM best WHERE rk = 1 ORDER BY rank""",
+    "q82_stream_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.com/p/'
+               || doc_id || '?utm_source=feed' AS url,
+             1704067200 + doc_id * 2
+               + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS tse
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 9000000,
+             'http://site' || (doc_id % 7) || '.example.com/p/'
+               || doc_id || '#frag',
+             1704067200 + doc_id * 2
+               + CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+           FROM documents),
+         n AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(lower(url),
+               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '[?#].*$', '') AS norm,
+             tse
+           FROM u),
+         k AS (SELECT doc_id, url,
+             row_number() OVER (PARTITION BY norm ORDER BY tse, doc_id) AS rk
+           FROM n)
+         SELECT doc_id, url FROM k WHERE rk = 1 ORDER BY doc_id""",
     "q81_semdedup" ->
       s"""WITH e AS (SELECT doc_id, vec FROM ${rel("doc_embeddings")}),
          c AS (SELECT doc_id, cell FROM ${rel("sem_cells")}),

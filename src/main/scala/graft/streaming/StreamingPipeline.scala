@@ -297,6 +297,37 @@ object StreamingPipeline {
     kept.as[DocEvent]
   }
 
+  /** One crawl event of a streaming URL-dedup pass. */
+  final case class UrlEvent(doc_id: Long, url: String, ts: Timestamp)
+
+  /** STREAMING URL dedup: keep the first-arriving event per
+    * DEDUP-CANONICAL URL (`UrlOps.normalizeUrl`: case, scheme, www,
+    * query, fragment noise all collapse) within the watermark horizon
+    * — the crawl-frontier "have I fetched this already" pass. State
+    * is one 8-byte xxhash of the canonical form per distinct URL,
+    * never the URL string: the same bounded-state shape as
+    * `dedupByContent`, sized for a 10^12-event crawl stream.
+    * Batch-mode execution is the deterministic first-arrival
+    * (min over (ts, doc_id)) on any partitioning.
+    */
+  def dedupByUrl(events: Dataset[UrlEvent],
+                 cfg: StreamConfig): Dataset[UrlEvent] = {
+    import events.sparkSession.implicits._
+    val withK = events.withColumn("_k",
+      xxhash64(graft.operators.UrlOps.normalizeUrl(col("url"))))
+    val kept =
+      if (events.isStreaming)
+        withK.withWatermark("ts", cfg.watermark)
+          .dropDuplicatesWithinWatermark("_k")
+          .drop("_k")
+      else
+        withK.groupBy(col("_k"))
+          .agg(min_by(struct(events.columns.toIndexedSeq.map(col): _*),
+            struct(col("ts"), col("doc_id"))).as("_d"))
+          .select(col("_d.*"))
+    kept.as[UrlEvent]
+  }
+
   /** One surviving paragraph of a streaming paragraph-dedup pass. */
   final case class ParaEvent(doc_id: Long, pos: Int, para: String,
                              ts: Timestamp)

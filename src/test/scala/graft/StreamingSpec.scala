@@ -243,6 +243,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got)
   }
 
+  test("streaming url dedup keeps the first arrival per canonical url") {
+    import spark.implicits._
+    import StreamingPipeline.UrlEvent
+    val t0 = 1700000000000L
+    val events = Seq(
+      UrlEvent(1L, "HTTPS://WWW.Example.com/a?utm=1", new java.sql.Timestamp(t0)),
+      UrlEvent(2L, "http://other.org/b", new java.sql.Timestamp(t0 + 1000)),
+      UrlEvent(3L, "http://example.com/a#frag", new java.sql.Timestamp(t0 + 2000)), // canon dup of 1
+      UrlEvent(4L, "https://example.com/A", new java.sql.Timestamp(t0 + 3000)),     // dup of 1 (canon lowercases the full url)
+      UrlEvent(5L, "http://other.org/b?x=2", new java.sql.Timestamp(t0 + 4000)))    // dup of 2
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UrlEvent]
+    val q = StreamingPipeline.dedupByUrl(mem.toDS(),
+        StreamConfig(watermark = "1 hour"))
+      .writeStream.format("memory").queryName("url_dedup")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- events.grouped(2)) { mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("url_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"expected first arrivals only, got $got")
+    val batchGot = StreamingPipeline.dedupByUrl(
+        spark.createDataset(events), StreamConfig())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchGot == got)
+  }
+
   test("streaming paragraph dedup: first arrival wins, reassembly matches batch") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
