@@ -1001,6 +1001,27 @@ object SparkEntry {
         .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))
     }),
+    "q83_blocklist" -> ((s, dir) => {
+      // C4 bad-word doc filter: %89 docs get planted violations
+      // wrapped in edge punctuation — matching is token-exact after
+      // the edge strip (clean docs with embedded substrings never
+      // false-positive)
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"),
+        when(col("doc_id") % 89 === 0,
+          concat(col("text"), lit(" Darn! (heck) frak.")))
+          .otherwise(col("text")).as("text"))
+      operators.TextOps.blocklistTable(ev, "doc_id", "text",
+          Seq("darn", "heck", "frak"))
+        .orderBy(col("doc_id"))
+    }),
+    "q84_heavy_hitters" -> ((s, dir) => {
+      // exact phi-heavy hitters via CMS-bounded candidates + exact
+      // recount — never a full-vocabulary shuffle (q47's scale dual)
+      operators.TextOps.heavyHitters(t(s, dir, "documents"), "text",
+          k = 200)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
     "q82_stream_url_dedup" -> ((s, dir) => {
       // the STREAMING url-dedup operator in batch mode: every doc's
       // canonical url arrives twice with different noise (query/www/
@@ -2131,6 +2152,27 @@ object SparkEntry {
            FROM agg)
          SELECT rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
          FROM best WHERE rk = 1 ORDER BY rank""",
+    "q83_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 89 = 0
+               THEN text || ' Darn! (heck) frak.' ELSE text END AS text
+           FROM documents),
+         b AS (SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> list_contains(['darn', 'heck', 'frak'],
+                 regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'))))
+               AS n_blocked
+           FROM d)
+         SELECT doc_id, n_blocked, n_blocked = 0 AS keep
+         FROM b ORDER BY doc_id""",
+    "q84_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+             '\s+')) AS token
+           FROM documents),
+         n AS (SELECT count(*) AS total FROM t),
+         c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+         SELECT token, cnt FROM c, n WHERE cnt * 200 > total
+         ORDER BY cnt DESC, token""",
     "q82_stream_url_dedup" ->
       """WITH u AS (
            SELECT doc_id,

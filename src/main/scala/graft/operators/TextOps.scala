@@ -149,6 +149,61 @@ object TextOps {
     * Column form re-embeds the full-text split in every output slot
     * that references it (the repo's documented HOF-CSE pathology).
     */
+  /** C4 blocklist filter (the "bad words" doc-drop): a document is
+    * dropped when any token, after edge-punctuation stripping, is on
+    * the list. The list is compiled into the plan as a literal In-set
+    * (vocabulary-bounded — never a join), so the pass is map-only and
+    * partitioning-independent. Tokens are already lowercased by
+    * `tokens`; the edge strip keeps "darn!"/"(darn" matching "darn"
+    * without substring false-positives ("class" never matches "ass").
+    */
+  def blocklistTable(docs: DataFrame, idCol: String, textCol: String,
+                     words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val wordSet = words.map(_.toLowerCase)
+    val hits = filter(tokens(col(textCol)), t =>
+      regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")
+        .isInCollection(wordSet))
+    docs.select(col(idCol), size(hits).cast("long").as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
+
+  /** EXACT φ-heavy hitters (tokens with count > N/k) without ever
+    * shuffling the full vocabulary — the 100 TB dual of a plain
+    * `groupBy(token).count()` top-k (q47), whose shuffle carries every
+    * distinct token. Two corpus passes:
+    *
+    *  1. a CountMinSketch fit (driver gets the sketch + exact total N;
+    *     sized so overcount ≤ threshold/20 — `eps = 1/(20k)` clamped
+    *     to [1e-6, 0.01]);
+    *  2. a map-only probe against the broadcast sketch keeps only
+    *     candidate-token OCCURRENCES, whose partial-aggregated count
+    *     shuffles ≤ |candidates| keys per partition.
+    *
+    * CMS never undercounts, so the candidate set is a SUPERSET of the
+    * true heavy hitters; the exact recount filter `cnt * k > N` then
+    * removes every false positive — the result is EXACTLY the
+    * φ=1/k-heavy-hitter set, deterministic on any partitioning (the
+    * property a DuckDB oracle can replay with a plain HAVING).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+                   eps: Double = 0.0, delta: Double = 1e-4): DataFrame = {
+    require(k >= 2, "k must be >= 2 (threshold N/k)")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val epsEff =
+      if (eps > 0) eps
+      else math.min(0.01, math.max(1e-6, 1.0 / (20.0 * k)))
+    val cms = toks.stat.countMinSketch(
+      "token", eps = epsEff, confidence = 1 - delta, seed = 42)
+    val n = cms.totalCount()
+    val bc = docs.sparkSession.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    toks.filter(est(col("token")) * k > n)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+  }
+
   def gopherRulesTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val staged = docs.select(col(idCol),
       tokens(col(textCol)).as("_toks"),

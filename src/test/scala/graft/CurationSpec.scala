@@ -135,6 +135,40 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.subsetOf(more))
   }
 
+  test("blocklist filter: token-exact after edge strip, no substring hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Class assignments pass here"),     // substrings never match
+      (2L, "You DARN fool, (heck) twice heck"),
+      (3L, "clean text entirely")).toDF("doc_id", "text")
+    val got = operators.TextOps.blocklistTable(
+        docs, "doc_id", "text", Seq("darn", "heck", "ass"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((0L, true), (3L, false), (0L, true)))
+  }
+
+  test("heavy hitters: exactly the phi-heavy set, any partitioning") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = operators.TextOps.heavyHitters(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // N=7: only a (4*3 > 7); b 6 !> 7, c 3 !> 7
+    assert(got == Set(("a", 4L)))
+    // against exact ground truth on a skewed corpus, repartitioned
+    val corpus = (0L until 200L).map { i =>
+      (i, (0 to (i % 11).toInt).map(j => s"w${(i + j) % 13}").mkString(" "))
+    }.toDF("doc_id", "text").repartition(7)
+    val hh = operators.TextOps.heavyHitters(corpus, "text", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = corpus.select(explode(operators.TextOps.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = exact.map(_._2).sum
+    assert(hh == exact.filter { case (_, c) => c * 20 > n }.toSet)
+  }
+
   test("html extraction + c4 line filter") {
     import spark.implicits._
     val html = "<html><!--c--><head><style>p{a:b}</style>" +
