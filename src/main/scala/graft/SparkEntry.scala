@@ -2190,7 +2190,7 @@ object SparkEntry {
            FROM documents),
          n AS (SELECT doc_id, url,
              regexp_replace(regexp_replace(lower(url),
-               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '[?#].*$', '') AS norm,
+               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '(?s)[?#].*', '') AS norm,
              tse
            FROM u),
          k AS (SELECT doc_id, url,
@@ -2296,7 +2296,7 @@ object SparkEntry {
            FROM documents),
          d AS (SELECT doc_id,
              regexp_replace(regexp_replace(lower(url),
-               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '[?#].*$', '') AS norm
+               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '(?s)[?#].*', '') AS norm
            FROM u),
          h AS (SELECT doc_id, norm,
              regexp_extract(norm, '^([^/]+)', 1) AS domain FROM d),

@@ -76,14 +76,16 @@ object HtmlOps {
   /** The C4 line keep-rule: ≥ `minWords` space-separated tokens, ends
     * in terminal punctuation, and mentions no policy boilerplate
     * phrase. Word count is over the collapsed-whitespace canon
-    * (single spaces), so `size(split(_, " "))` is exact.
+    * (single spaces), so `size(split(_, " "))` is exact. The policy
+    * check is ONE rlike over an alternation (phrases contain no regex
+    * metachars): per-phrase `lower(line).contains` would lowercase the
+    * line once per phrase inside the HOF lambda, where codegen
+    * subexpression elimination never applies.
     */
   def c4KeepLine(line: Column, minWords: Int = 5): Column = {
     val enoughWords = size(split(line, " ")) >= minWords
     val terminal = line.rlike("[.!?\"]$")
-    val noPolicy = PolicyPhrases
-      .map(p => !lower(line).contains(p))
-      .reduce(_ && _)
+    val noPolicy = !lower(line).rlike(PolicyPhrases.mkString("|"))
     enoughWords && terminal && noPolicy
   }
 
@@ -107,6 +109,10 @@ object HtmlOps {
     */
   def extract(df: org.apache.spark.sql.DataFrame, htmlCol: String,
               minWords: Int = 5): org.apache.spark.sql.DataFrame = {
+    val outCols = Seq("raw_lines", "kept_lines", "doc_keep", "clean_text")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has extraction column(s): ${clash.mkString(", ")}")
     val lines = Iterator.from(0).map(i => s"_lines$i")
       .find(c => !df.columns.contains(c)).get
     val kept = Iterator.from(0).map(i => s"_kept$i")

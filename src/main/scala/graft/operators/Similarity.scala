@@ -105,14 +105,6 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
 
-  /** IVF (inverted-file) ANN candidate generation: k-means centroids
-    * partition the corpus into cells; queries probe the `nProbe`
-    * nearest cells. The 100 TB scale path: the model is fit on a
-    * BOUNDED SAMPLE (`maxFitRows`, never the full corpus), assignment
-    * is a map over the corpus with a small centroid broadcast, queries
-    * touch nProbe/nCentroids of the data, and nothing ever
-    * cross-joins. Returns (query_id, query_vec, item_id, item_vec).
-    */
   /** k-means centroids fit on a bounded sample — the shared front end
     * of IVF and SemDeDup. Fitting on a cap: clustering quality needs
     * only a sketch of the density, and a full-corpus fit is a
@@ -159,6 +151,14 @@ object Similarity {
   def nearestCellUdf(centers: Array[Array[Double]]) =
     udf((a: Seq[Float]) => centers.indices.minBy(i => dist2(a, centers(i))))
 
+  /** IVF (inverted-file) ANN candidate generation: k-means centroids
+    * partition the corpus into cells; queries probe the `nProbe`
+    * nearest cells. The 100 TB scale path: the model is fit on a
+    * BOUNDED SAMPLE (`maxFitRows`, never the full corpus), assignment
+    * is a map over the corpus with a small centroid broadcast, queries
+    * touch nProbe/nCentroids of the data, and nothing ever
+    * cross-joins. Returns (query_id, query_vec, item_id, item_vec).
+    */
   def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, nCentroids: Int = 16, nProbe: Int = 4,
                     seed: Long = 7L, maxFitRows: Int = 100000): DataFrame = {

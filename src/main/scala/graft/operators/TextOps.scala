@@ -142,13 +142,6 @@ object TextOps {
     gopherRulesFrom(tokens(text), split(text, "\n"),
       regexp_count(text, lit("#|\\.\\.\\.|…")))
 
-  /** `gopherRules` over a staged relation — THE hot-path form: the
-    * tokenization and line split are materialized ONCE per row in a
-    * separate projection (CollapseProject will not re-inline a
-    * non-cheap expression referenced many times), where the bare
-    * Column form re-embeds the full-text split in every output slot
-    * that references it (the repo's documented HOF-CSE pathology).
-    */
   /** C4 blocklist filter (the "bad words" doc-drop): a document is
     * dropped when any token, after edge-punctuation stripping, is on
     * the list. The list is compiled into the plan as a literal In-set
@@ -160,7 +153,9 @@ object TextOps {
   def blocklistTable(docs: DataFrame, idCol: String, textCol: String,
                      words: Seq[String]): DataFrame = {
     require(words.nonEmpty, "blocklist must be non-empty")
-    val wordSet = words.map(_.toLowerCase)
+    // Locale.ROOT: tokens() lowers locale-independently; a default
+    // tr-TR JVM would otherwise map 'I' -> dotless ı and never match
+    val wordSet = words.map(_.toLowerCase(java.util.Locale.ROOT))
     val hits = filter(tokens(col(textCol)), t =>
       regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")
         .isInCollection(wordSet))
@@ -204,6 +199,13 @@ object TextOps {
       .filter(col("cnt") * k > n)
   }
 
+  /** `gopherRules` over a staged relation — THE hot-path form: the
+    * tokenization and line split are materialized ONCE per row in a
+    * separate projection (CollapseProject will not re-inline a
+    * non-cheap expression referenced many times), where the bare
+    * Column form re-embeds the full-text split in every output slot
+    * that references it (the repo's documented HOF-CSE pathology).
+    */
   def gopherRulesTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val staged = docs.select(col(idCol),
       tokens(col(textCol)).as("_toks"),

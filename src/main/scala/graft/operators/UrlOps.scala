@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Dedup-canonical form: lowercase; strip scheme + leading www.;
-    * drop query and fragment.
+    * drop query and fragment. The strip pattern is `(?s)[?#].*`, not
+    * `[?#].*$`: with control characters in the URL (undecoded %0d/%0a
+    * junk on a real frontier) Java's `.`/`$` and RE2's disagree about
+    * \r and trailing \n — DOTALL-from-the-marker is the one spelling
+    * both dialects evaluate identically (and it always strips).
     */
   def normalizeUrl(url: Column): Column =
     regexp_replace(
       regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://(www\\.)?", ""),
-      "[?#].*$", "")
+      "(?s)[?#].*", "")
 
   /** Host part of the canonical form (everything before the first
     * slash). Registrable-domain grouping needs the public-suffix
