@@ -1015,6 +1015,26 @@ object SparkEntry {
           Seq("darn", "heck", "frak"))
         .orderBy(col("doc_id"))
     }),
+    "q85_stream_domain_cap" -> ((s, dir) => {
+      // the STREAMING per-domain crawl-quota operator in batch mode:
+      // one url event per doc with a scrambled arrival time (so
+      // admission is NOT just the lowest doc_ids); admission = the
+      // first 8 arrivals per host by (ts, doc_id) — batch execution
+      // is one group pass from empty state
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val base = 1704067200L
+      val url = concat(lit("https://www.site"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
+        col("doc_id").cast("string"))
+      val ev = docs.select(col("doc_id"), url.as("url"),
+        timestamp_seconds(lit(base) + (col("doc_id") * 37) % 101).as("ts"))
+      streaming.StreamingPipeline.capPerDomainStream(
+          ev.as[streaming.StreamingPipeline.UrlEvent],
+          streaming.StreamingPipeline.StreamConfig(), maxPerDomain = 8)
+        .select(col("domain"), col("doc_id"), col("url"))
+        .orderBy(col("domain"), col("doc_id"))
+    }),
     "q84_heavy_hitters" -> ((s, dir) => {
       // exact phi-heavy hitters via CMS-bounded candidates + exact
       // recount — never a full-vocabulary shuffle (q47's scale dual)
@@ -2173,6 +2193,24 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
          SELECT token, cnt FROM c, n WHERE cnt * 200 > total
          ORDER BY cnt DESC, token""",
+    "q85_stream_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+             'https://www.site' || (doc_id % 7) || '.example.com/p/'
+               || doc_id AS url,
+             1704067200 + (doc_id * 37) % 101 AS tse
+           FROM documents),
+         d AS (SELECT doc_id, url, tse,
+             regexp_replace(regexp_replace(lower(url),
+               '^[a-z][a-z0-9+.-]*://(www\.)?', ''), '(?s)[?#].*', '') AS norm
+           FROM u),
+         h AS (SELECT doc_id, url, tse,
+             regexp_extract(norm, '^([^/]+)', 1) AS domain FROM d),
+         k AS (SELECT domain, doc_id, url,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY tse, doc_id) AS rk
+           FROM h)
+         SELECT domain, doc_id, url FROM k WHERE rk <= 8
+         ORDER BY domain, doc_id""",
     "q82_stream_url_dedup" ->
       """WITH u AS (
            SELECT doc_id,

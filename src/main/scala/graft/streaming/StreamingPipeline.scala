@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import scala.collection.mutable
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -326,6 +327,63 @@ object StreamingPipeline {
             struct(col("ts"), col("doc_id"))).as("_d"))
           .select(col("_d.*"))
     kept.as[UrlEvent]
+  }
+
+  /** A url event with its derived domain (the quota key). */
+  final case class DomainEvent(domain: String, doc_id: Long, url: String,
+                               ts: Timestamp)
+
+  /** Per-domain admission counter for the streaming crawl quota. */
+  final case class DomainQuota(admitted: Long)
+
+  /** STREAMING per-domain admission cap (the crawl-budget control):
+    * admit the first `maxPerDomain` events per host in event-time
+    * arrival order — the streaming dual of `UrlOps.capPerDomain`
+    * (which picks a deterministic md5-rank SAMPLE of a finished
+    * corpus; this one respects arrival order, the frontier semantic).
+    * The domain is derived with the same `UrlOps.host` Column as the
+    * batch cap — one canonicalization definition, no drift. State is
+    * ONE counter per domain (bounded by the domain universe, not the
+    * event count) and never evicts: the quota is a lifetime budget.
+    * Within a micro-batch the group iterator is sorted by
+    * (ts, doc_id) — the session-automaton discipline — so admission
+    * is deterministic; across batches the running count carries.
+    * Batch-mode execution is one group pass from empty state,
+    * identical to a first-N-per-domain (ts, doc_id) window rank.
+    */
+  def capPerDomainStream(events: Dataset[UrlEvent], cfg: StreamConfig,
+                         maxPerDomain: Int): Dataset[DomainEvent] = {
+    import events.sparkSession.implicits._
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    val ord: Ordering[DomainEvent] =
+      Ordering.by(r => (r.ts.getTime, r.doc_id))
+    def fsm(domain: String, rows: Iterator[DomainEvent],
+            state: GroupState[DomainQuota]): Iterator[DomainEvent] = {
+      val n = state.getOption.map(_.admitted).getOrElse(0L)
+      if (n >= maxPerDomain) Iterator.empty // quota spent: no heap, no state write
+      else {
+        val room = (maxPerDomain - n).toInt
+        // bounded selection of the `room` earliest (ts, doc_id):
+        // O(G log room) time, O(room) memory — a hot domain's
+        // micro-batch slice is never materialized or fully sorted
+        val heap = mutable.PriorityQueue.empty[DomainEvent](ord) // max-heap
+        rows.foreach { r =>
+          if (heap.size < room) heap.enqueue(r)
+          else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+        }
+        val admitted = heap.dequeueAll.reverse // ascending (ts, doc_id)
+        state.update(DomainQuota(n + admitted.size))
+        admitted.iterator
+      }
+    }
+    val withDom = events
+      .withColumn("domain", graft.operators.UrlOps.host(col("url")))
+      .as[DomainEvent]
+    val wm = if (withDom.isStreaming)
+      withDom.withWatermark("ts", cfg.watermark) else withDom
+    wm.groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fsm)
   }
 
   /** One surviving paragraph of a streaming paragraph-dedup pass. */

@@ -270,6 +270,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got)
   }
 
+  test("streaming per-domain cap admits earliest arrivals and carries quota") {
+    import spark.implicits._
+    import StreamingPipeline.UrlEvent
+    val t0 = 1700000000000L
+    def ev(id: Long, url: String, off: Long) =
+      UrlEvent(id, url, new java.sql.Timestamp(t0 + off))
+    // batch 1 arrives with a.com out of event-time order: admission
+    // must pick the earliest (ts, doc_id), not iterator order
+    val batch1 = Seq(
+      ev(1L, "https://A.com/x", 2000),
+      ev(2L, "http://www.a.com/y", 0),
+      ev(3L, "http://a.com/z", 1000),
+      ev(4L, "http://b.org/1", 500))
+    // batch 2: a.com's quota (2) is already spent; b.org has room for 1
+    val batch2 = Seq(
+      ev(5L, "https://a.com/w", 3000),
+      ev(6L, "http://b.org/2", 4000),
+      ev(7L, "http://b.org/3", 5000))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UrlEvent]
+    val q = StreamingPipeline.capPerDomainStream(mem.toDS(),
+        StreamConfig(watermark = "1 hour"), maxPerDomain = 2)
+      .writeStream.format("memory").queryName("domain_cap")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- Seq(batch1, batch2)) { mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("domain_cap").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L, 6L), s"got $got")
+    // batch-mode execution = one group pass from empty state: the
+    // first 2 per domain by (ts, doc_id) over the whole input
+    val batchGot = StreamingPipeline.capPerDomainStream(
+        spark.createDataset(batch1 ++ batch2), StreamConfig(),
+        maxPerDomain = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchGot == got, s"batch got $batchGot")
+  }
+
   test("streaming paragraph dedup: first arrival wins, reassembly matches batch") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
