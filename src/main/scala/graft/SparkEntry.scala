@@ -1015,6 +1015,19 @@ object SparkEntry {
           Seq("darn", "heck", "frak"))
         .orderBy(col("doc_id"))
     }),
+    "q86_dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): target = the
+      // doc_id%7==3 slice, raw = the rest; hashed unigram+bigram LMs
+      // (md5 buckets, add-1 smoothing, millinat-floored logs),
+      // deterministic md5-Gumbel top-k — the oracle refits both LMs
+      // and replays the selection from scratch
+      val docs = t(s, dir, "documents")
+      operators.Dsir.selectTopK(
+          docs.filter(col("doc_id") % 7 === 3),
+          docs.filter(col("doc_id") % 7 =!= 3),
+          "doc_id", "text", k = 50, buckets = 4096, salt = "s86")
+        .orderBy(col("doc_id"))
+    }),
     "q85_stream_domain_cap" -> ((s, dir) => {
       // the STREAMING per-domain crawl-quota operator in batch mode:
       // one url event per doc with a scrambled arrival time (so
@@ -2193,6 +2206,48 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
          SELECT token, cnt FROM c, n WHERE cnt * 200 > total
          ORDER BY cnt DESC, token""",
+    "q86_dsir_select" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         feats AS (SELECT doc_id,
+             unnest(toks || list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS feature
+           FROM tok),
+         fb AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(feature), 1, 8)) AS BIGINT)
+               % 4096 AS b
+           FROM feats),
+         ct AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 = 3
+           GROUP BY 1),
+         cr AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 <> 3
+           GROUP BY 1),
+         tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM ct),
+         tr AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM cr),
+         llr AS (SELECT gs.b,
+             CAST(floor(-ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
+               / (tr.t + 4096)) * 1000) AS BIGINT)
+             - CAST(floor(-ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+               / (tt.t + 4096)) * 1000) AS BIGINT) AS w
+           FROM (SELECT unnest(range(0, 4096)) AS b) gs
+           LEFT JOIN ct ON ct.b = gs.b
+           LEFT JOIN cr ON cr.b = gs.b, tt, tr),
+         lw AS (SELECT f.doc_id, CAST(sum(l.w) AS BIGINT) AS logw_q
+           FROM fb f JOIN llr l ON l.b = f.b
+           WHERE f.doc_id % 7 <> 3 GROUP BY 1),
+         g AS (SELECT doc_id, logw_q,
+             CAST(floor(-ln(-ln((CAST(CAST(('0x'
+               || substr(md5(doc_id || ':s86'), 1, 8)) AS BIGINT)
+               AS DOUBLE) + 0.5) / 4294967296.0)) * 1000) AS BIGINT)
+               AS gumbel_q
+           FROM lw),
+         r AS (SELECT doc_id, logw_q, gumbel_q,
+             logw_q + gumbel_q AS key_q,
+             row_number() OVER (ORDER BY logw_q + gumbel_q DESC,
+               doc_id) AS rk
+           FROM g)
+         SELECT doc_id, logw_q, gumbel_q, key_q FROM r WHERE rk <= 50
+         ORDER BY doc_id""",
     "q85_stream_domain_cap" ->
       """WITH u AS (SELECT doc_id,
              'https://www.site' || (doc_id % 7) || '.example.com/p/'

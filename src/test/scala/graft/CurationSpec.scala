@@ -394,6 +394,44 @@ class CurationSpec extends AnyFunSuite {
 
   // ---------------- relevance scoring ----------------
 
+  test("dsir: target-like docs outrank junk, deterministic on any partitioning") {
+    import spark.implicits._
+    // target distribution: prose vocabulary, repeated so its hashed
+    // LM is peaked on these features
+    val target = (1L to 20L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // raw: 5 docs sharing the target vocabulary, 5 with junk
+    // vocabulary the target LM has never seen
+    val like = (100L to 104L)
+      .map(i => (i, "the brown fox and the lazy dog jumps"))
+    val junk = (200L to 204L)
+      .map(i => (i, "zzq xkcd qwerty asdf zxcv plugh"))
+    val raw = (like ++ junk).toDF("doc_id", "text")
+    val sel = operators.Dsir.selectTopK(target, raw, "doc_id", "text",
+      k = 5, buckets = 512, salt = "t")
+    val ids = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (100L to 104L).toSet, s"expected the target-like docs, got $ids")
+    // weight separation: every target-like logw above every junk logw
+    // (the thing the Gumbel noise must not be able to flip)
+    val all = operators.Dsir.selectTopK(target, raw, "doc_id", "text",
+        k = 10, buckets = 512, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minLike = (100L to 104L).map(all).min
+    val maxJunk = (200L to 204L).map(all).max
+    assert(minLike > maxJunk, s"like >= $minLike vs junk <= $maxJunk")
+    // partitioning independence: exact counts, integer keys, doc_id
+    // tiebreak — identical rows under any repartitioning
+    val rows = sel.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows2 = operators.Dsir.selectTopK(target.repartition(7),
+        raw.repartition(13), "doc_id", "text",
+        k = 5, buckets = 512, salt = "t")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == rows2)
+  }
+
   test("quantized tf-idf is exact on a hand corpus") {
     import spark.implicits._
     val docs = Seq(
