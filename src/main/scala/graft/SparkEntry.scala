@@ -122,6 +122,17 @@ object SparkEntry {
       operators.BpeTrain.train(t(s, dir, "documents"), "text", nMerges = 40,
         recordStages = true))
 
+  // PCA model memoized per (session, sfDir): the fit is deterministic
+  // (exact integer moments), memoization just saves the pass when the
+  // pca_rot dump and q88 both run
+  private val pcaModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      operators.Pca.PcaModel]
+  def pcaModel(s: SparkSession, dir: String): operators.Pca.PcaModel =
+    pcaModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      operators.Pca.fit(t(s, dir, "embeddings"), "embedding",
+        dim = 64, k = 8))
+
   /** q77 eval corpus: the training corpus plus planted docs carrying
     * words unseen at training time (the OOV path through
     * segmentTable).
@@ -285,7 +296,8 @@ object SparkEntry {
     "support_table" -> ((s, _) => operators.DimShuffle.supportTable(
       defaultFilteredDim(s), Pipeline.defaultCt)),
     "bpe_stages" -> ((s, dir) => bpeModel(s, dir).stagesDf(s)),
-    "bpe_seg_table" -> ((s, dir) => q77SegTable(s, dir)))
+    "bpe_seg_table" -> ((s, dir) => q77SegTable(s, dir)),
+    "pca_rot" -> ((s, dir) => pcaModel(s, dir).toDf(s)))
 
   /** Flagship: full match->annotate pipeline over synthesized
     * transcripts (driver smoke-checks rows>0).
@@ -1014,6 +1026,92 @@ object SparkEntry {
       operators.TextOps.blocklistTable(ev, "doc_id", "text",
           Seq("darn", "heck", "frak"))
         .orderBy(col("doc_id"))
+    }),
+    "q91_temperature_mix" -> ((s, dir) => {
+      // alpha-sampling (XLM-R/mT5 recipe, alpha=1/2): a planted tiny
+      // 'rare' source gets a tempered share exceeding its size — its
+      // rate clamps to 1 (keeps everything, the upweighting story) —
+      // while the three bulk sources downsample; the oracle recomputes
+      // totals, sqrt-weights, and thresholds from scratch
+      val docs = t(s, dir, "documents").withColumn("tsource",
+        when(col("doc_id") < 8, lit("rare"))
+          .otherwise(concat(lit("src"), (col("doc_id") % 3).cast("string"))))
+      val rates = operators.Mixing.temperatureRates(
+        docs, "tsource", "text", budget = 30000L)
+      val kept = operators.Sampling.stratifiedSample(docs, "doc_id",
+        "tsource", rates.map { case (k, (r, _)) => k -> r },
+        defaultRate = 0.0, salt = "s91")
+      val rateQ = rates.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+        case (acc, (src, (_, q))) =>
+          when(col("tsource") === src, lit(q)).otherwise(acc)
+      }
+      kept.withColumn("rate_q", rateQ)
+        .groupBy(col("tsource"), col("rate_q"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(size(operators.TextOps.tokens(col("text"))))
+            .as("n_tokens_kept"))
+        .orderBy(col("tsource"))
+    }),
+    "q90_burst_detect" -> ((s, dir) => {
+      // the STREAMING burst detector in batch mode: token events
+      // spread over four 60 s windows; a burst is a closed window
+      // where cnt >= 5 and cnt >= 3x the adjacent previous window
+      // (absent predecessor counts 0) — the oracle replays the rule
+      // with a windowed count + lag
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val base = 1704067200L
+      val ev = docs.select(
+          explode(slice(operators.TextOps.tokens(col("text")), 1, 8))
+            .as("token"),
+          timestamp_seconds(lit(base) + (col("doc_id") % 240)).as("ts"))
+        .as[streaming.StreamingPipeline.TokenEvent]
+      streaming.StreamingPipeline.burstDetectStream(ev,
+          streaming.StreamingPipeline.StreamConfig(),
+          windowSec = 60, minCount = 5, ratio = 3)
+        .toDF().orderBy(col("token"), col("ws"))
+    }),
+    "q89_line_dedup_indoc" -> ((s, dir) => {
+      // within-doc duplicate-line removal (map-only, zero shuffle —
+      // q69's corpus-wide pass is the other half): a repeated 40-char
+      // prefix line and a unique tail are planted per doc; the second
+      // repeat drops, order survives
+      val docs = t(s, dir, "documents")
+      val ev = docs.select(col("doc_id"),
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40),
+          lit("\nTAIL "), col("doc_id").cast("string")).as("text"))
+      operators.TextOps.dedupLinesInDoc(ev, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q88_pca_project" -> ((s, dir) => {
+      // dimensionality reduction ahead of semantic dedup/ANN: project
+      // the 64-dim embeddings onto the top-8 principal components.
+      // Fit = one exact-integer moment pass (partitioning-invariant)
+      // + driver Jacobi; projection = map-only native expression.
+      // Components are exact integers, so the oracle replays them
+      // from the dumped rotation relation bit-for-bit
+      val m = pcaModel(s, dir)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(operators.Pca.project(s, col("embedding"), m)))
+        .select(col("vec_id"), col("pos").as("comp"), col("col").as("y_q"))
+        .orderBy(col("vec_id"), col("comp"))
+    }),
+    "q87_bloom_decontaminate" -> ((s, dir) => {
+      // q51's non-broadcast regime: when the eval side's exploded
+      // shingle postings exceed the broadcast budget, a
+      // distributed-fit Bloom bitmap (deliberately small here — 2^16
+      // bits — so false positives actually reach and die in the
+      // verify join) prefilters candidate docs map-side, then an
+      // exact shuffle join verifies; identical output to q51 for any
+      // bloom parameters, so it shares q51's oracle
+      val all = t(s, dir, "documents")
+      operators.TextOps.bloomContamination(
+          all.filter(col("doc_id") >= 10), "doc_id", "text",
+          all.filter(col("doc_id") < 10), "doc_id", "text",
+          n = 3, minShared = 10, bloomBits = 1 << 16, probes = 4)
+        .orderBy(col("doc"), col("eval_doc"))
     }),
     "q86_dsir_select" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): target = the
@@ -2206,6 +2304,105 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
          SELECT token, cnt FROM c, n WHERE cnt * 200 > total
          ORDER BY cnt DESC, token""",
+    "q91_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN doc_id < 8 THEN 'rare'
+                  ELSE 'src' || (doc_id % 3) END AS tsource
+           FROM documents),
+         tot AS (SELECT tsource,
+             sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS toks
+           FROM d GROUP BY 1),
+         w AS (SELECT tsource, toks,
+             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576) AS BIGINT)
+               AS w_q
+           FROM tot),
+         ws AS (SELECT CAST(sum(w_q) AS BIGINT) AS wsum FROM w),
+         r AS (SELECT tsource,
+             least(CAST(4294967296 AS BIGINT),
+               CAST(floor(least(CAST(1 AS DOUBLE),
+                 (CAST(30000 AS DOUBLE) * CAST(w_q AS DOUBLE))
+                   / (CAST(wsum AS DOUBLE) * CAST(toks AS DOUBLE)))
+                 * CAST(4294967296 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS rate_q
+           FROM w, ws),
+         kept AS (SELECT d.tsource, d.text, r.rate_q
+           FROM d JOIN r USING (tsource)
+           WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s91'), 1, 8) <
+             CASE WHEN r.rate_q >= 4294967296 THEN 'g'
+                  ELSE printf('%08x', r.rate_q) END)
+         SELECT tsource, rate_q, count(*) AS n_docs_kept,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             AS BIGINT) AS n_tokens_kept
+         FROM kept GROUP BY 1, 2 ORDER BY 1""",
+    "q90_burst_detect" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         ev AS (SELECT unnest(toks[1:8]) AS token,
+             1704067200 + (doc_id % 240) AS tse
+           FROM tok),
+         w AS (SELECT token, (tse // 60) * 60 AS ws, count(*) AS cnt
+           FROM ev GROUP BY 1, 2),
+         l AS (SELECT token, ws, cnt,
+             lag(ws) OVER (PARTITION BY token ORDER BY ws) AS pws,
+             lag(cnt) OVER (PARTITION BY token ORDER BY ws) AS pcnt
+           FROM w),
+         b AS (SELECT token, CAST(ws AS BIGINT) AS ws,
+             CAST(cnt AS BIGINT) AS cnt,
+             CAST(CASE WHEN pws = ws - 60 THEN pcnt ELSE 0 END
+               AS BIGINT) AS prev_cnt
+           FROM l)
+         SELECT token, ws, cnt, prev_cnt FROM b
+         WHERE cnt >= 5 AND cnt >= 3 * prev_cnt
+         ORDER BY token, ws""",
+    "q89_line_dedup_indoc" ->
+      """WITH ev AS (SELECT doc_id,
+             text || chr(10) || substr(text, 1, 40) || chr(10)
+               || substr(text, 1, 40) || chr(10) || 'TAIL ' || doc_id
+               AS text
+           FROM documents),
+         p AS (SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             CAST(generate_subscripts(string_split(text, chr(10)), 1)
+               AS BIGINT) AS pos
+           FROM ev),
+         f AS (SELECT doc_id, line, min(pos) AS fpos
+           FROM p GROUP BY 1, 2)
+         SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY fpos) AS text_dedup
+         FROM f GROUP BY 1 ORDER BY doc_id""",
+    "q88_pca_project" ->
+      s"""WITH r AS (SELECT comp, idx, w_q, mbar
+             FROM ${rel("pca_rot")}),
+         e AS (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS idx
+           FROM embeddings),
+         q AS (SELECT vec_id, idx,
+             CAST(round(x * 1000) AS BIGINT) AS qx FROM e)
+         SELECT q.vec_id, r.comp,
+           CAST(sum((q.qx - r.mbar) * r.w_q) AS BIGINT) AS y_q
+         FROM q JOIN r ON r.idx = q.idx
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q87 = q51's contamination under the Bloom-prefilter regime —
+    // bit-for-bit the same relation (FPs die in the exact verify
+    // join), so the oracle is q51's SQL verbatim
+    "q87_bloom_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+           FROM tok),
+         corpus AS (SELECT doc_id AS doc, unnest(sh) AS s
+           FROM sh WHERE doc_id >= 10),
+         ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS s
+           FROM sh WHERE doc_id < 10)
+         SELECT c.doc, e.eval_doc, count(*) AS n_shared
+         FROM corpus c JOIN ev e USING (s)
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY 1, 2""",
     "q86_dsir_select" ->
       """WITH tok AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -75,6 +75,59 @@ object Mixing {
       defaultRate = 0.0, salt = salt)
   }
 
+  /** Temperature-weighted mixing rates — the multilingual-pretraining
+    * sampling recipe (XLM-R / mT5 alpha-sampling): source s receives
+    * an expected-token share ∝ totalₛ^α, so with α<1 small sources are
+    * up-weighted relative to their natural share and head sources are
+    * tempered. `budget` scales the whole mix:
+    * rateₛ = min(1, budget·wₛ / (W·totalₛ)) with wₛ = totalₛ^α,
+    * W = Σ wₛ. Clamped sources (tiny enough that their tempered share
+    * exceeds their size) keep everything and the mix under-delivers
+    * by the clamped remainder — same no-renormalize contract as
+    * [[mixingRates]].
+    *
+    * α is fixed at ½: wₛ = sqrt(totalₛ) is the one power with a
+    * cross-engine-exact path (IEEE sqrt is correctly rounded;
+    * Math.pow is not), and ½ is the published default. The weight is
+    * floor-quantized at 2²⁰ so W is an exact integer sum
+    * (order-free); the rate is then one IEEE divide of two
+    * exact-integer IEEE products, reproducible bit-for-bit by a SQL
+    * oracle with the same parenthesization. Arbitrary α = supply a
+    * precomputed weight table and use [[Sampling.stratifiedSample]]
+    * directly.
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String, textCol: String,
+                       budget: Long,
+                       wScale: Long = 1L << 20): Map[String, (Double, Long)] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val totals = sourceTokenTotals(df, sourceCol, textCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wq = totals.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * wScale).toLong
+    }
+    val wSum = wq.values.sum
+    totals.map { case (s, n) =>
+      val rate =
+        if (n == 0L || wSum == 0L) 0.0
+        else math.min(1.0, (budget.toDouble * wq(s).toDouble) /
+          (wSum.toDouble * n.toDouble))
+      s -> (rate, Sampling.rateQuantized(rate))
+    }
+  }
+
+  /** Deterministic temperature mix: hash-threshold sample each source
+    * at its α=½ tempered rate (map-only on the corpus; one bounded
+    * totals aggregation).
+    */
+  def mixByTemperature(df: DataFrame, keyCol: String, sourceCol: String,
+                       textCol: String, budget: Long,
+                       salt: String = "graft"): DataFrame = {
+    val rates = temperatureRates(df, sourceCol, textCol, budget)
+      .map { case (s, (rate, _)) => s -> rate }
+    Sampling.stratifiedSample(df, keyCol, sourceCol, rates,
+      defaultRate = 0.0, salt = salt)
+  }
+
   /** Deterministic shard assignment for a training-data release
     * (the WebDataset/tar-shard shape): shard(key) = uint32(first 8
     * md5 hex of "key:salt") % nShards — a pure function of the data,

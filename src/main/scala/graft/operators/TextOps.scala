@@ -282,6 +282,29 @@ object TextOps {
     reassembleParagraphs(kept, docs, idCol, sep)
   }
 
+  /** WITHIN-document duplicate-line removal (the in-document half of
+    * a Dolma-style dedupe pass; `dedupParagraphs` is the corpus-wide
+    * half): keep each line's FIRST occurrence inside its own
+    * document, preserving order. Purely map-side — ZERO shuffles at
+    * any corpus size, because the dedup scope is the row itself. The
+    * line array is staged as its own multi-referenced projection so
+    * the split runs once per row (the HOF-CSE discipline); the
+    * first-occurrence test is an O(L²) scan of that array — L is
+    * lines-per-document, corpus-size-independent.
+    */
+  def dedupLinesInDoc(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val tmp = Iterator.from(0).map(i => s"_lines$i")
+      .find(c => !docs.columns.contains(c)).get
+    docs
+      .withColumn(tmp,
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .select(col(idCol),
+        concat_ws(sep, filter(col(tmp), (x, i) =>
+          array_position(col(tmp), x) === (i + 1).cast("long")))
+          .as("text_dedup"))
+  }
+
   /** Reassemble (idCol, pos, para) survivor rows into per-document
     * text in `pos` order — shared by `dedupParagraphs` and the
     * streaming operator's per-batch reassembly (q71), so the two
@@ -325,6 +348,53 @@ object TextOps {
     val evalSh = evalDocs.select(col(evalIdCol).as("eval_doc"),
       explode(shingles(col(evalTextCol), n)).as("s"))
     corpus.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** `contamination` for the regime where the eval side's exploded
+    * shingle postings exceed the broadcast budget (a 1 M-doc eval
+    * suite is ~2×10⁸ postings with ids — gigabytes — where a Bloom
+    * bitmap over the same keys at ~10 bits/key is ~250 MB): fit a
+    * Bloom filter over the eval shingle hashes DISTRIBUTED (one
+    * aggregation pass, OR-merged per-partition bitmaps — the driver
+    * never sees a shingle), probe it map-side at doc granularity so
+    * clean documents — the overwhelming majority of a training
+    * corpus — never explode, then verify the surviving candidates
+    * with an exact equi-join against the eval postings. Bloom false
+    * positives die in the verify join, so the output is EXACTLY
+    * `contamination`'s for any (bloomBits, probes): the filter only
+    * decides how much work the verify stage sees. The verify join is
+    * a plain shuffle join by design — both sides are small (candidates
+    * ≈ true leakage + FP rate × corpus; eval postings shuffle once,
+    * bounded by the eval suite, never by the corpus).
+    *
+    * The doc-level probe evaluates the shingle expression once per
+    * corpus row; Catalyst pushes the probe predicate below the `sh`
+    * projection, so surviving rows re-shingle once more for the
+    * explode — the clean bulk pays exactly one pass.
+    */
+  def bloomContamination(docs: DataFrame, idCol: String, textCol: String,
+                         evalDocs: DataFrame, evalIdCol: String,
+                         evalTextCol: String, n: Int = 3,
+                         minShared: Int = 10, bloomBits: Int = 1 << 23,
+                         probes: Int = 4): DataFrame = {
+    require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
+      s"bloomBits must be a power of two >= 64, got $bloomBits")
+    val spark = docs.sparkSession
+    val evalSh = evalDocs.select(col(evalIdCol).as("eval_doc"),
+      explode(shingles(col(evalTextCol), n)).as("s"))
+    val fit = new graft.plans.BloomFitAgg(bloomBits / 64, probes)
+    val bitmap: Array[Long] = evalSh
+      .select(col("s").as(org.apache.spark.sql.Encoders.scalaLong))
+      .select(fit.toColumn).head()
+    val cand = docs
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .filter(graft.plans.TextExprs.bloomAnyContain(
+        spark, col("sh"), bitmap, probes))
+    cand.select(col("doc"), explode(col("sh")).as("s"))
+      .join(evalSh, Seq("s"))
       .groupBy(col("doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -687,6 +687,94 @@ case class MinHashSigExpression(child: Expression, k: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Bloom-filter primitives over 64-bit keys (already-hashed shingles).
+  * Classic double hashing (Kirsch–Mitzenmacher): probe i lands at
+  * h + i·h2 with h2 an odd golden-ratio mix of h, so one upstream
+  * xxhash64 feeds every probe. The bit count is a power of two so the
+  * modulus is a mask. Set/probe share the exact same position
+  * sequence — the property the prefilter's zero-false-negative
+  * guarantee rests on.
+  */
+object BloomHelper {
+  @inline private def stride(h: Long): Long = (h * 0x9E3779B97F4A7C15L) | 1L
+  def set(h: Long, bm: Array[Long], probes: Int): Unit = {
+    val mask = bm.length.toLong * 64L - 1L
+    val h2 = stride(h)
+    var i = 0
+    while (i < probes) {
+      val pos = (h + i * h2) & mask
+      bm((pos >>> 6).toInt) |= 1L << (pos & 63L)
+      i += 1
+    }
+  }
+  def contains(h: Long, bm: Array[Long], probes: Int): Boolean = {
+    val mask = bm.length.toLong * 64L - 1L
+    val h2 = stride(h)
+    var i = 0
+    while (i < probes) {
+      val pos = (h + i * h2) & mask
+      if ((bm((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  def anyContain(arr: ArrayData, bm: Array[Long], probes: Int): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (contains(arr.getLong(i), bm, probes)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Distributed Bloom fit: per-partition bitmaps OR-merged — commutative
+  * and idempotent, so the result is identical on any partitioning and
+  * duplicate keys are free. One aggregation pass over the key column;
+  * the driver receives only the `words`-long bitmap (bits/8 bytes),
+  * never the key set.
+  */
+class BloomFitAgg(words: Int, probes: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+  override def zero: Array[Long] = new Array[Long](words)
+  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+    BloomHelper.set(h, b, probes); b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { a(i) |= b(i); i += 1 }
+    a
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** True iff ANY key in the array probes positive — the doc-level
+  * prefilter: a clean document short-circuits without allocating or
+  * exploding its shingle array. The bitmap rides to executors as a
+  * plan reference object (one copy per task binary, like a broadcast
+  * of the same size), not per-row state.
+  */
+case class BloomAnyContainExpression(child: Expression, bitmap: Array[Long],
+    probes: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_any_contain"
+  override def nullSafeEval(v: Any): Any =
+    BloomHelper.anyContain(v.asInstanceOf[ArrayData], bitmap, probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bm = ctx.addReferenceObj("bloomBits", bitmap, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BloomHelper$$.MODULE$$.anyContain($c, $bm, $probes);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registry-based Column API (same pattern as GraftFunctions.pStart —
   * Column->Expression construction is not public in Spark 4).
   */
@@ -739,6 +827,14 @@ object TextExprs {
           case other => throw new IllegalArgumentException(
             s"shingles_hashed n must be an integer literal, got $other")
         }), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_any_contain", exprs => BloomAnyContainExpression(exprs.head,
+        exprs(1) match {
+          case Literal(a: ArrayData, ArrayType(LongType, _)) => a.toLongArray()
+          case other => throw new IllegalArgumentException(
+            "bloom_any_contain bitmap must be a long-array literal, got " +
+              other.getClass.getName)
+        }, intLit(exprs(2), "bloom_any_contain probes")), "internal")
   }
 
   def simhash64(spark: SparkSession, c: Column): Column = {
@@ -795,5 +891,12 @@ object TextExprs {
       org.apache.spark.sql.functions.lit(nBits),
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(seedBase))
+  }
+  def bloomAnyContain(spark: SparkSession, c: Column, bitmap: Array[Long],
+      probes: Int): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("bloom_any_contain", c,
+      org.apache.spark.sql.functions.lit(bitmap),
+      org.apache.spark.sql.functions.lit(probes))
   }
 }

@@ -529,6 +529,112 @@ object StreamingPipeline {
         GroupStateTimeout.EventTimeTimeout)(fsm)
   }
 
+  // -------------------------------------------------------------------
+  // Burst detection (windowed trend CEP)
+  // -------------------------------------------------------------------
+
+  final case class TokenEvent(token: String, ts: Timestamp)
+  /** `ws` = tumbling-window start in epoch seconds. */
+  final case class Burst(token: String, ws: Long, cnt: Long, prev_cnt: Long)
+  /** `open` = (windowStartSec, cnt) ascending; `lastWs`/`lastCnt` =
+    * most recently closed window (MinValue sentinel = none yet).
+    */
+  final case class BurstState(open: List[(Long, Long)], lastWs: Long,
+      lastCnt: Long)
+
+  /** Streaming burst detector (Kleinberg-style trend CEP, one-level):
+    * emits every CLOSED tumbling window in which a token's count
+    * reaches `minCount` AND is at least `ratio`× its count in the
+    * ADJACENT previous window — an absent adjacent window counts 0,
+    * so a term appearing from nothing is the canonical burst. Exact
+    * integer rule: `cnt >= ratio * prev_cnt`, no division.
+    *
+    * Scale shape: state per token is O(watermarkDelay / windowSec)
+    * open-window counters plus the last closed window — independent
+    * of stream length; tokens shard across the fMGWS shuffle by key.
+    * Windows close IN ORDER as the watermark passes their end (quiet
+    * tokens flush via event-time timeout), so the adjacency
+    * comparison needs only O(1) history. Rows landing in a window
+    * whose end the watermark has already passed are dropped — the
+    * pipeline-wide late-data contract; state for a token is removed
+    * once no adjacent window can still receive events. Batch-mode
+    * execution is one group pass that closes every window — pinned
+    * equal to the streaming run in StreamingSpec, and what q90's
+    * oracle replays with a windowed count + lag.
+    */
+  def burstDetectStream(events: Dataset[TokenEvent], cfg: StreamConfig,
+      windowSec: Long = 60L, minCount: Long = 5L,
+      ratio: Long = 3L): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    require(windowSec > 0 && minCount >= 1 && ratio >= 1,
+      "windowSec/minCount/ratio must be positive")
+    val streaming = events.isStreaming
+    val wMs = windowSec * 1000L
+
+    def fsm(token: String, rows: Iterator[TokenEvent],
+            state: GroupState[BurstState]): Iterator[Burst] = {
+      val wm =
+        if (!streaming) Long.MaxValue
+        else if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs()
+        else 0L
+      var st = state.getOption.getOrElse(BurstState(Nil, Long.MinValue, 0L))
+      if (!state.hasTimedOut) {
+        val merged = mutable.TreeMap.empty[Long, Long]
+        st.open.foreach { case (w, c) => merged.put(w, c) }
+        var any = false
+        rows.foreach { r =>
+          val ws = Math.floorDiv(r.ts.getTime, wMs) * windowSec
+          // late beyond the watermark: the window already closed (or
+          // could have) — dropping is the deterministic choice
+          if (!streaming || (ws + windowSec) * 1000L > wm) {
+            merged.updateWith(ws) {
+              case Some(c) => Some(c + 1L)
+              case None => Some(1L)
+            }
+            any = true
+          }
+        }
+        if (any) st = st.copy(open = merged.toList)
+      }
+      // close every open window whose end the watermark passed, in
+      // ascending order — adjacency needs only the immediately
+      // preceding closed window
+      val out = List.newBuilder[Burst]
+      var open = st.open
+      var lastWs = st.lastWs
+      var lastCnt = st.lastCnt
+      while (open.nonEmpty && (open.head._1 + windowSec) * 1000L <= wm) {
+        val (w, c) = open.head
+        open = open.tail
+        val prev = if (lastWs == w - windowSec) lastCnt else 0L
+        if (c >= minCount && c >= ratio * prev) out += Burst(token, w, c, prev)
+        lastWs = w
+        lastCnt = c
+      }
+      st = BurstState(open, lastWs, lastCnt)
+      if (!streaming) {
+        state.update(st) // single batch pass; value unused afterwards
+      } else if (open.isEmpty && lastWs != Long.MinValue &&
+          wm > (lastWs + 2 * windowSec) * 1000L) {
+        state.remove() // nothing can be adjacent to lastWs anymore
+      } else {
+        state.update(st)
+        val next =
+          if (open.nonEmpty) (open.head._1 + windowSec) * 1000L
+          else if (lastWs != Long.MinValue) (lastWs + 2 * windowSec) * 1000L
+          else wm + 1
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
+      out.result().iterator
+    }
+
+    val wm = if (streaming) events.withWatermark("ts", cfg.watermark)
+      else events
+    wm.groupByKey(_.token)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fsm)
+  }
+
   final case class PackEvent(stratum: String, doc_id: Long, n_tok: Int,
       ts: Timestamp)
   final case class PackedDoc(stratum: String, doc_id: Long, n_tok: Int,

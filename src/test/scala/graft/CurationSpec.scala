@@ -685,6 +685,93 @@ class CurationSpec extends AnyFunSuite {
     assert(rep.head == 2, s"expected 2 distinct shared trigrams, got ${rep.toSeq}")
   }
 
+  test("temperature mixing upweights small sources and clamps at 1") {
+    import spark.implicits._
+    // 'big' = 64 docs x 4 tokens, 'small' = 4 docs x 4 tokens
+    val df = ((0 until 64).map(i => (i.toLong, "big", "a b c d")) ++
+      (100 until 104).map(i => (i.toLong, "small", "a b c d")))
+      .toDF("doc_id", "src", "text")
+    // hand replay: toks big=256 small=16; w = floor(sqrt(n)*2^20);
+    // W = w_b + w_s; rate_s = min(1, B*w/(W*n))
+    val wB = math.floor(math.sqrt(256.0) * 1048576).toLong
+    val wS = math.floor(math.sqrt(16.0) * 1048576).toLong
+    val wSum = wB + wS
+    val budget = 64L
+    val rates = graft.operators.Mixing.temperatureRates(
+      df, "src", "text", budget)
+    val expB = math.min(1.0, (budget.toDouble * wB.toDouble) /
+      (wSum.toDouble * 256.0))
+    val expS = math.min(1.0, (budget.toDouble * wS.toDouble) /
+      (wSum.toDouble * 16.0))
+    assert(rates("big")._1 == expB && rates("small")._1 == expS)
+    // alpha=1/2 upweights the small source: its sampling RATE exceeds
+    // the big source's (0.8 vs 0.2 here), though never its cap
+    assert(expS > expB)
+    assert(expS == 0.8 && expB == 0.2, s"got $expS / $expB")
+    // a budget beyond the tempered share clamps the small source at 1
+    val clamped = graft.operators.Mixing.temperatureRates(
+      df, "src", "text", budget = 200L)
+    assert(clamped("small")._1 == 1.0 &&
+      clamped("small")._2 == 4294967296L)
+    assert(clamped("big")._1 < 1.0)
+    // zero budget keeps nothing
+    val zero = graft.operators.Mixing.mixByTemperature(
+      df, "doc_id", "src", "text", budget = 0L)
+    assert(zero.count() == 0)
+    // partitioning independence of the kept set
+    val a = graft.operators.Mixing.mixByTemperature(
+      df, "doc_id", "src", "text", budget).collect()
+      .map(_.getLong(0)).toSet
+    val b = graft.operators.Mixing.mixByTemperature(
+      df.repartition(7), "doc_id", "src", "text", budget).collect()
+      .map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bloom contamination is exactly contamination under any bloom params") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") >= 10)
+    val evalSet = docs.filter(col("doc_id") < 10)
+    val exact = graft.operators.TextOps.contamination(
+        train, "doc_id", "text", evalSet, "doc_id", "text",
+        n = 3, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture must contain planted leakage")
+    // a healthy bitmap
+    val big = graft.operators.TextOps.bloomContamination(
+        train, "doc_id", "text", evalSet, "doc_id", "text",
+        n = 3, minShared = 5, bloomBits = 1 << 16, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(big == exact)
+    // a SATURATED bitmap: 64 bits / 2 probes makes nearly every doc a
+    // false-positive candidate — the exact verify join must still
+    // produce the identical relation (FPs carry zero shared shingles)
+    val tiny = graft.operators.TextOps.bloomContamination(
+        train, "doc_id", "text", evalSet, "doc_id", "text",
+        n = 3, minShared = 5, bloomBits = 64, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tiny == exact)
+    // partitioning independence: the OR-merged fit and the probe are
+    // both order-free
+    val re = graft.operators.TextOps.bloomContamination(
+        train.repartition(7), "doc_id", "text",
+        evalSet.repartition(3), "doc_id", "text",
+        n = 3, minShared = 5, bloomBits = 1 << 16, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == exact)
+  }
+
+  test("bloom prefilter has zero false negatives by construction") {
+    // every key set into the bitmap must probe positive — the
+    // guarantee that makes the prefilter safe to put in front of the
+    // verify join
+    val bm = new Array[Long](4) // 256 bits
+    val keys = (0 until 500).map(i => i * 0x9E3779B97F4A7C15L + 11)
+    keys.foreach(h => graft.plans.BloomHelper.set(h, bm, 4))
+    assert(keys.forall(h => graft.plans.BloomHelper.contains(h, bm, 4)))
+  }
+
   // ---------------- PII scrubbing ----------------
 
   test("pii redaction replaces emails, phones, urls with placeholders") {

@@ -338,6 +338,61 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pca: deterministic fit, orthonormal rotation, variance-ordered components") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = graft.operators.Pca.fit(emb, "embedding", dim = 64, k = 8)
+    // partitioning independence: the integer-moment fit must be
+    // BIT-identical on a rebucketed input
+    val m2 = graft.operators.Pca.fit(
+      emb.repartition(7), "embedding", dim = 64, k = 8)
+    assert(m.mbar.toSeq == m2.mbar.toSeq)
+    assert(m.rotQ.map(_.toSeq).toSeq == m2.rotQ.map(_.toSeq).toSeq)
+    // rotation rows orthonormal (within quantization tolerance)
+    val r = m.rotQ.map(_.map(_.toDouble / m.wScale))
+    for (a <- 0 until 8; b <- a until 8) {
+      val dot = (0 until 64).map(i => r(a)(i) * r(b)(i)).sum
+      if (a == b) assert(math.abs(dot - 1.0) < 1e-3, s"|r$a|² = $dot")
+      else assert(math.abs(dot) < 1e-3, s"r${a}.r$b = $dot")
+    }
+    // eigenvalues descending, all non-negative (covariance is PSD)
+    assert(m.eigvals.toSeq == m.eigvals.sorted(Ordering[Double].reverse).toSeq)
+    assert(m.eigvals.forall(_ >= -1e-6))
+    // projected component variances: descending, and comp 0 beats the
+    // best single raw axis (PCA optimality vs the axis-aligned basis)
+    val proj = emb.select(
+        graft.operators.Pca.project(spark, col("embedding"), m).as("y"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = proj.length
+    def variance(xs: Array[Double]): Double = {
+      val mu = xs.sum / n
+      xs.map(x => (x - mu) * (x - mu)).sum / n
+    }
+    val compVar = (0 until 8).map(c =>
+      variance(proj.map(_(c).toDouble / (m.scale.toDouble * m.wScale))))
+    assert(compVar.zip(compVar.tail).forall { case (a, b) => a >= b - 1e-12 },
+      s"component variances not descending: $compVar")
+    val rawVar = (0 until 64).map { i =>
+      val xs = emb.select(col("embedding")).collect()
+        .map(_.getSeq[Float](0)(i).toDouble)
+      variance(xs)
+    }
+    assert(compVar.head >= rawVar.max - 1e-9,
+      s"comp0 var ${compVar.head} < best raw axis ${rawVar.max}")
+    // the native projection matches a driver-side replay exactly
+    val one = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val q = one.map { f =>
+      val v = f.toDouble * 1000
+      if (v >= 0) math.round(v) else -math.round(-v)
+    }
+    val want = (0 until 8).map(c =>
+      (0 until 64).map(i => (q(i) - m.mbar(i)) * m.rotQ(c)(i)).sum)
+    val got = emb.orderBy(col("vec_id")).limit(1)
+      .select(graft.operators.Pca.project(spark, col("embedding"), m))
+      .collect().head.getSeq[Long](0)
+    assert(got == want, s"native $got != replay $want")
+  }
+
   test("quality features and langId behave on handcrafted text") {
     val df = docsDf(Seq(
       1L -> "The quick brown fox jumps over the lazy dog and it is fine",
@@ -455,6 +510,25 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
   private def wordDocs(ids: Seq[Long]) = docsDf(wordRows(ids))
+
+  test("in-doc line dedup: repeats dropped, order kept, docs independent") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a\nb\na\nc\nb"),
+      (1L, "a\na"), // same line as doc 0 — scopes must not interact
+      (2L, ""),
+      (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupLinesInDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "a\nb\nc")
+    assert(got(1L) == "a")
+    assert(got(2L) == "")
+    assert(got(3L) == "x")
+    val re = TextOps.dedupLinesInDoc(df.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+  }
 
   test("incremental crawl round-trip: dedup-against-base + incremental CC == full recompute") {
     // the production crawl shape end-to-end: a base corpus is already

@@ -453,6 +453,66 @@ class PlanQualitySpec extends AnyFunSuite {
       s"segment-table join degraded:\n$bpePlan")
   }
 
+  test("bloom contamination: map-side doc prefilter, equi-join verify only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = operators.TextOps.bloomContamination(
+      docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      n = 3, minShared = 5, bloomBits = 1 << 16, probes = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the doc-level probe must survive as a pre-explode filter: clean
+    // docs short-circuit before any shingle row exists
+    assert(plan.contains("bloom_any_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"verify join degraded to a quadratic strategy:\n$plan")
+    // the verify count must partial-aggregate (hit pairs are skewed
+    // toward heavily-leaked docs)
+    assert(plan.contains("partial_count"),
+      s"verify count lost map-side partial aggregation:\n$plan")
+  }
+
+  test("pca projection is map-only; in-doc line dedup splits once") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m = operators.Pca.fit(emb, "embedding", dim = 64, k = 4)
+    val pplan = emb.select(col("vec_id"),
+        operators.Pca.project(spark, col("embedding"), m))
+      .queryExecution.executedPlan.toString
+    assert(!pplan.contains("Exchange"),
+      s"pca projection must be pure map work:\n$pplan")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dplan = operators.TextOps.dedupLinesInDoc(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!dplan.contains("Exchange"),
+      s"in-doc dedup must be map-only:\n$dplan")
+    // the staged line array must not have been collapsed into per-slot
+    // re-splits (HOF-CSE discipline)
+    val nSplits = "split\\(".r.findAllMatchIn(dplan).size
+    assert(nSplits <= 1, s"line split duplicated $nSplits times:\n$dplan")
+  }
+
+  test("burst detector shuffles once (the fMGWS key exchange)") {
+    import spark.implicits._
+    val ev = Seq(StreamingPipeline.TokenEvent("a",
+      new java.sql.Timestamp(0L))).toDS()
+    val plan = StreamingPipeline.burstDetectStream(ev, StreamConfig())
+      .queryExecution.executedPlan.toString
+    // batch execution of flatMapGroupsWithState compiles to MapGroups
+    assert(plan.contains("MapGroups"), plan)
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(nEx == 1, s"expected exactly 1 key exchange, got $nEx:\n$plan")
+  }
+
+  test("temperature mix keep-path is map-only like the target mix") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = operators.Mixing.mixByTemperature(
+        docs, "doc_id", "source", "text", budget = 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"temperature-mix kept path must be a map-side filter:\n$plan")
+  }
+
   test("tf-idf joins broadcast the term-sized sides, never sort-merge") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = operators.Relevance.tfIdfQuantized(docs, "doc_id", "text",

@@ -270,6 +270,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got)
   }
 
+  test("burst detector: stream==batch, adjacency rule, late rows dropped") {
+    import spark.implicits._
+    import StreamingPipeline.TokenEvent
+    val t0 = 1700000040000L // window-aligned (divisible by 60 000)
+    def ev(tok: String, sec: Long) =
+      TokenEvent(tok, new java.sql.Timestamp(t0 + sec * 1000))
+    val w0 = t0 / 1000
+    // a: w0 cnt 3 (burst: prev 0), w1 cnt 5 (5 < 2·3 — no), w2 cnt 10
+    //    (10 >= 2·5 — burst); b: w0 cnt 2 (< minCount), w2 cnt 3
+    //    (gap ⇒ prev 0 — burst)
+    val batch1 = Seq(ev("a", 1), ev("a", 2), ev("a", 3), ev("b", 5),
+      ev("b", 6)) ++ (61L to 65L).map(ev("a", _))
+    val batch2 = (121L to 130L).map(ev("a", _)) ++
+      Seq(ev("b", 125), ev("b", 126), ev("b", 127), ev("zzz", 400))
+    val late = Seq(ev("a", 10)) // w0 already closed by the watermark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[TokenEvent]
+    val q = StreamingPipeline.burstDetectStream(mem.toDS(),
+        StreamConfig(watermark = "10 seconds"),
+        windowSec = 60, minCount = 3, ratio = 2)
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- Seq(batch1, batch2, late)) {
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("bursts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = Set(("a", w0, 3L, 0L), ("a", w0 + 120, 10L, 5L),
+      ("b", w0 + 120, 3L, 0L))
+    assert(got == want, s"got $got")
+    // batch mode (the late row excluded — batch has no watermark to
+    // drop it) closes every window, including the sentinel's
+    // sub-minCount one, and must agree exactly
+    val batchGot = StreamingPipeline.burstDetectStream(
+        spark.createDataset(batch1 ++ batch2),
+        StreamConfig(), windowSec = 60, minCount = 3, ratio = 2)
+      .collect().map(b => (b.token, b.ws, b.cnt, b.prev_cnt)).toSet
+    assert(batchGot == want, s"batch got $batchGot")
+  }
+
   test("streaming per-domain cap admits earliest arrivals and carries quota") {
     import spark.implicits._
     import StreamingPipeline.UrlEvent
