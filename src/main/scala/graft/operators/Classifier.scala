@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Inference side of a model-based quality filter — the
@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
+  /** The unigram+adjacent-bigram feature array over a pre-staged
+    * token-array column — THE single definition of the classifier/DSIR
+    * feature space (fit and scoring paths must agree on it exactly).
+    */
+  def featureArray(toks: Column): Column =
+    concat(toks,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+
   /** (doc, feature) rows: unigrams then adjacent bigrams ("w1 w2"),
     * derived map-only from one tokenize per row.
     */
@@ -34,11 +45,7 @@ object Classifier {
                      textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"),
         TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(concat(col("toks"),
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat_ws(" ", a, b)))).as("feature"))
+      .select(col("doc"), explode(featureArray(col("toks"))).as("feature"))
 
   /** Deterministic pseudo-random weights over the corpus vocabulary —
     * a stand-in for learned weights with the same join/scale shape:

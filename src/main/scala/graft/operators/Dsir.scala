@@ -87,10 +87,9 @@ object Dsir {
     // CollapseProject cannot re-inline the split per reference), then
     // fold the document's own feature array over the LLR table
     val toks = raw.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-    val feats = concat(col("toks"), zip_with(
-      slice(col("toks"), lit(1), size(col("toks")) - 1),
-      slice(col("toks"), lit(2), size(col("toks")) - 1),
-      (a, b) => concat_ws(" ", a, b)))
+    // the SAME feature definition the LM fits used (Classifier owns
+    // the unigram+bigram space — fit and scoring may not drift)
+    val feats = Classifier.featureArray(col("toks"))
     val logw = aggregate(
       transform(feats, f => element_at(lut, (bucket(f, buckets) + 1).cast("int"))),
       lit(0L), (acc, x) => acc + x)

@@ -140,12 +140,17 @@ object Pca {
         r += 1
       }
       val s = if (v(best) < 0) -1.0 else 1.0
-      v.map(x => qround(x * s * 1000000L))
+      v.map(x => qround(x * s * WScale))
     }.toArray
     val mbar = sums.map(s => qround(s.toDouble / n))
-    PcaModel(dim, k, scale, 1000000L, n, mbar, rotQ,
+    PcaModel(dim, k, scale, WScale, n, mbar, rotQ,
       order.map(eigvals).toArray)
   }
+
+  /** Rotation-loading quantization scale — the single source for both
+    * the rotQ quantizer and the model's advertised wScale.
+    */
+  val WScale: Long = 1000000L
 
   /** HALF_UP tie rounding (the repo-wide quantization convention). */
   @inline private def qround(v: Double): Long =
