@@ -1027,6 +1027,18 @@ object SparkEntry {
           Seq("darn", "heck", "frak"))
         .orderBy(col("doc_id"))
     }),
+    "q92_escalation_cep" -> ((s, dir) => {
+      // MATCH_RECOGNIZE-lite sequence CEP: every turn whose last 3
+      // tiers strictly improve (rank strictly decreasing in event
+      // order) — the oracle replays the pattern as a lag-window
+      // predicate over the dumped annotations relation
+      import s.implicits._
+      val ann = Pipeline.run(s).as[operators.Annotation]
+      streaming.StreamingPipeline.escalationsStream(ann,
+          streaming.StreamingPipeline.StreamConfig(), runLen = 3)
+        .toDF()
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
     "q91_temperature_mix" -> ((s, dir) => {
       // alpha-sampling (XLM-R/mT5 recipe, alpha=1/2): a planted tiny
       // 'rare' source gets a tempered share exceeding its size — its
@@ -1118,11 +1130,11 @@ object SparkEntry {
       // doc_id%7==3 slice, raw = the rest; hashed unigram+bigram LMs
       // (md5 buckets, add-1 smoothing, millinat-floored logs),
       // deterministic md5-Gumbel top-k — the oracle refits both LMs
-      // and replays the selection from scratch
+      // and replays the selection from scratch. Split form: both LMs
+      // fit in ONE corpus pass (target/raw are slices of one table)
       val docs = t(s, dir, "documents")
-      operators.Dsir.selectTopK(
-          docs.filter(col("doc_id") % 7 === 3),
-          docs.filter(col("doc_id") % 7 =!= 3),
+      operators.Dsir.selectTopKSplit(
+          docs, col("doc_id") % 7 === 3,
           "doc_id", "text", k = 50, buckets = 4096, salt = "s86")
         .orderBy(col("doc_id"))
     }),
@@ -2304,6 +2316,19 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
          SELECT token, cnt FROM c, n WHERE cnt * 200 > total
          ORDER BY cnt DESC, token""",
+    "q92_escalation_cep" ->
+      s"""WITH a AS (SELECT conv_id, turn_idx, ts,
+             CASE highest_tier WHEN 'tier_1' THEN 0
+               WHEN 'tier_1b' THEN 1 WHEN 'tier_2' THEN 2
+               WHEN 'tier_3' THEN 3 ELSE 4 END AS rk
+           FROM ${rel("annotations")}),
+         l AS (SELECT conv_id, turn_idx, rk,
+             lag(rk, 1) OVER w AS r1, lag(rk, 2) OVER w AS r2
+           FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+         SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+           CAST(rk AS INT) AS tier_rank, CAST(r2 AS INT) AS from_rank
+         FROM l WHERE rk < r1 AND r1 < r2
+         ORDER BY conv_id, turn_idx""",
     "q91_temperature_mix" ->
       """WITH d AS (SELECT doc_id, text,
              CASE WHEN doc_id < 8 THEN 'rare'

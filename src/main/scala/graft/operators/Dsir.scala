@@ -74,6 +74,46 @@ object Dsir {
       "buckets must be in (0, 2^20] — use a broadcast-join table beyond that")
     val (cT, tT) = bucketCounts(target, idCol, textCol, buckets)
     val (cR, tR) = bucketCounts(raw, idCol, textCol, buckets)
+    score(raw, idCol, textCol, k, buckets, salt, cT, tT, cR, tR)
+  }
+
+  /** `selectTopK` for the common deployment where target and raw
+    * PARTITION one parent corpus (a labeled slice of the same table):
+    * both bucket LMs come out of ONE feature pass — explode once,
+    * aggregate by (bucket, is-target) — instead of two separate
+    * corpus scans. Identical math and output to
+    * `selectTopK(docs.filter(cond), docs.filter(!cond), …)`.
+    */
+  def selectTopKSplit(docs: DataFrame, targetCond: Column, idCol: String,
+                      textCol: String, k: Int, buckets: Int = 4096,
+                      salt: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(buckets > 0 && buckets <= (1 << 20),
+      "buckets must be in (0, 2^20] — use a broadcast-join table beyond that")
+    val cT = Array.fill(buckets)(0L)
+    val cR = Array.fill(buckets)(0L)
+    docs.select(targetCond.as("t"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("t"),
+        explode(Classifier.featureArray(col("toks"))).as("feature"))
+      .select(col("t"), bucket(col("feature"), buckets).as("b"))
+      .groupBy(col("b"), col("t")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach { r =>
+        val arr = if (r.getBoolean(1)) cT else cR
+        arr(r.getLong(0).toInt) = r.getLong(2)
+      }
+    score(docs.filter(!targetCond), idCol, textCol, k, buckets, salt,
+      cT, cT.sum, cR, cR.sum)
+  }
+
+  /** The shared weight+Gumbel+top-k pass over the raw corpus, given
+    * the two fitted bucket LMs.
+    */
+  private def score(raw: DataFrame, idCol: String, textCol: String,
+                    k: Int, buckets: Int, salt: String,
+                    cT: Array[Long], tT: Long,
+                    cR: Array[Long], tR: Long): DataFrame = {
     def nlpQ(c: Long, t: Long): Long =
       math.floor(-math.log((c + 1).toDouble / (t + buckets)) * 1000).toLong
     // llr_q[b] ≈ 1000·(ln p_target − ln p_raw), via the two millinat

@@ -253,6 +253,83 @@ object StreamingPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Sequence-pattern CEP (MATCH_RECOGNIZE-lite)
+  // ---------------------------------------------------------------------
+
+  final case class Escalation(conv_id: String, turn_idx: Int,
+      tier_rank: Int, from_rank: Int)
+  /** `lastRanks` = the most recent runLen−1 tier ranks, newest first. */
+  final case class EscState(lastMs: Long, lastIdx: Int,
+      lastRanks: List[Int])
+
+  /** Tier-escalation pattern detector — the MATCH_RECOGNIZE-shaped
+    * CEP operator over annotated turns: emit every turn whose last
+    * `runLen` tiers are STRICTLY improving (rank strictly decreasing
+    * turn-over-turn; rank per Reports.prioritizePerLine — tier_1=0 …
+    * tier_4=4). The SQL equivalent is a lag-window predicate
+    * (rk < r1 < … < r_{runLen−1}), which is exactly what q92's oracle
+    * replays; the streaming form needs only O(runLen) state per
+    * conversation: the last runLen−1 ranks plus the last event
+    * position.
+    *
+    * Ordering contract: turns are consumed in (ts, turn_idx) order —
+    * each micro-batch slice is sorted (group iterators carry no
+    * ordering), and a row at or before the last processed position is
+    * dropped deterministically (the pipeline's late-data contract; a
+    * sequence pattern cannot be patched retroactively without
+    * unbounded buffering). State evicts one session gap after the
+    * newest turn via event-time timeout. Batch mode = one sorted pass
+    * per conversation from empty state — pinned equal to the
+    * streaming run in StreamingSpec.
+    */
+  def escalationsStream(ann: Dataset[Annotation], cfg: StreamConfig,
+      runLen: Int = 3): Dataset[Escalation] = {
+    import ann.sparkSession.implicits._
+    require(runLen >= 2, "runLen must be >= 2")
+    val streaming = ann.isStreaming
+    def rankOf(t: String): Int = t match {
+      case "tier_1" => 0
+      case "tier_1b" => 1
+      case "tier_2" => 2
+      case "tier_3" => 3
+      case _ => 4
+    }
+
+    def fsm(convId: String, rows: Iterator[Annotation],
+            state: GroupState[EscState]): Iterator[Escalation] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var st = state.getOption.getOrElse(
+        EscState(Long.MinValue, Int.MinValue, Nil))
+      val out = List.newBuilder[Escalation]
+      for (a <- rows.toSeq.sortBy(a => (a.ts.getTime, a.turn_idx))) {
+        val t = a.ts.getTime
+        if (t > st.lastMs || (t == st.lastMs && a.turn_idx > st.lastIdx)) {
+          val rk = rankOf(a.highest_tier)
+          val window = rk :: st.lastRanks // newest first
+          if (window.length >= runLen) {
+            val w = window.take(runLen)
+            // newest-first strictly ascending ⇔ strictly improving in
+            // time order
+            if (w.zip(w.tail).forall { case (nw, older) => nw < older })
+              out += Escalation(convId, a.turn_idx, rk, w.last)
+          }
+          st = EscState(t, a.turn_idx, window.take(runLen - 1))
+        }
+      }
+      state.update(st)
+      if (streaming)
+        state.setTimeoutTimestamp(math.max(st.lastMs + cfg.sessionGapMs,
+          state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    val wm = if (streaming) ann.withWatermark("ts", cfg.watermark) else ann
+    wm.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fsm)
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming near-duplicate detection
   // ---------------------------------------------------------------------
 

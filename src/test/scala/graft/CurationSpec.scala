@@ -430,6 +430,15 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(rows == rows2)
+    // the one-pass split form (target/raw as slices of one parent
+    // table) is row-identical to the two-corpus form
+    val parent = target.withColumn("is_t", lit(true))
+      .unionByName(raw.withColumn("is_t", lit(false)))
+    val split = operators.Dsir.selectTopKSplit(parent, col("is_t"),
+        "doc_id", "text", k = 5, buckets = 512, salt = "t")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(split == rows, s"split form drifted: $split vs $rows")
   }
 
   test("quantized tf-idf is exact on a hand corpus") {

@@ -492,16 +492,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nSplits <= 1, s"line split duplicated $nSplits times:\n$dplan")
   }
 
-  test("burst detector shuffles once (the fMGWS key exchange)") {
+  test("burst detector and escalation CEP shuffle once (the fMGWS key exchange)") {
     import spark.implicits._
     val ev = Seq(StreamingPipeline.TokenEvent("a",
       new java.sql.Timestamp(0L))).toDS()
-    val plan = StreamingPipeline.burstDetectStream(ev, StreamConfig())
-      .queryExecution.executedPlan.toString
-    // batch execution of flatMapGroupsWithState compiles to MapGroups
-    assert(plan.contains("MapGroups"), plan)
-    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
-    assert(nEx == 1, s"expected exactly 1 key exchange, got $nEx:\n$plan")
+    val ann = Seq(graft.operators.Annotation("c", 0, "user",
+      new java.sql.Timestamp(0L), "G", "SNV", Nil, Nil, Nil, Nil,
+      tier_4 = true, "tier_4", Nil, Nil, Nil, Nil)).toDS()
+    for ((name, df) <- Seq(
+        "burst" -> StreamingPipeline.burstDetectStream(ev, StreamConfig())
+          .toDF(),
+        "escalation" -> StreamingPipeline.escalationsStream(ann,
+          StreamConfig()).toDF())) {
+      val plan = df.queryExecution.executedPlan.toString
+      // batch execution of flatMapGroupsWithState compiles to MapGroups
+      assert(plan.contains("MapGroups"), s"$name:\n$plan")
+      val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(nEx == 1, s"$name: expected exactly 1 key exchange, got $nEx:\n$plan")
+    }
   }
 
   test("temperature mix keep-path is map-only like the target mix") {

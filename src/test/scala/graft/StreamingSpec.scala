@@ -270,6 +270,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == got)
   }
 
+  test("escalation CEP: strict runs found, plateaus break, stream==batch") {
+    import spark.implicits._
+    import graft.operators.Annotation
+    val t0 = 1700000000000L
+    def ann(conv: String, idx: Int, tier: String) =
+      Annotation(conv, idx, "user", new java.sql.Timestamp(t0 + idx * 60000L),
+        "G", "SNV", Nil, Nil, Nil, Nil, tier_4 = tier == "tier_4",
+        tier, Nil, Nil, Nil, Nil)
+    // convA: 4->3->2->2->1: strict runs of 3 end at idx 2 (4,3,2) and
+    //   idx 4 would need 2>2 strict — broken by the plateau, so the
+    //   (2,2,1) window at idx 4 is NOT a run; only idx 2 emits.
+    // convB: 1b->2->3: worsening, nothing emits.
+    val a = Seq(ann("convA", 0, "tier_4"), ann("convA", 1, "tier_3"),
+      ann("convA", 2, "tier_2"), ann("convA", 3, "tier_2"),
+      ann("convA", 4, "tier_1"))
+    val b = Seq(ann("convB", 0, "tier_1b"), ann("convB", 1, "tier_2"),
+      ann("convB", 2, "tier_3"))
+    val batchGot = StreamingPipeline.escalationsStream(
+        spark.createDataset(a ++ b), StreamConfig(), runLen = 3)
+      .collect().map(e => (e.conv_id, e.turn_idx, e.tier_rank,
+        e.from_rank)).toSet
+    assert(batchGot == Set(("convA", 2, 2, 4)), s"batch got $batchGot")
+    // streaming across micro-batch boundaries mid-run: same rows
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Annotation]
+    val q = StreamingPipeline.escalationsStream(mem.toDS(),
+        StreamConfig(watermark = "1 minute"), runLen = 3)
+      .writeStream.format("memory").queryName("esc")
+      .outputMode(OutputMode.Append).start()
+    for (chunk <- Seq(a.take(2) ++ b.take(1), a.drop(2) ++ b.drop(1))) {
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("esc")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(got == batchGot, s"stream got $got")
+  }
+
   test("burst detector: stream==batch, adjacency rule, late rows dropped") {
     import spark.implicits._
     import StreamingPipeline.TokenEvent
