@@ -1027,6 +1027,27 @@ object SparkEntry {
           Seq("darn", "heck", "frak"))
         .orderBy(col("doc_id"))
     }),
+    "q93_asof_join" -> ((s, dir) => {
+      // point-in-time (AS-OF) lookup: each event gets the plan
+      // version effective at its timestamp — the union+window
+      // formulation (one exchange, one sorted run per key, no range
+      // join); events before any version keep NULL (left semantics).
+      // The oracle is DuckDB's native ASOF LEFT JOIN
+      val ev = t(s, dir, "events")
+      val dim = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("ver"))
+        .select(col("user_id"),
+          timestamp_seconds(lit(1704069000L) + col("ver") * 21600
+            + col("user_id") * 60).as("ts"),
+          col("ver"),
+          concat(lit("p"), col("ver").cast("string")).as("plan"))
+      operators.VersionedDim.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          dim, keyCol = "user_id", tsCol = "ts", ordCol = "ver",
+          valCols = Seq("plan", "ver"))
+        .select(col("event_id"), col("user_id"), col("plan"), col("ver"))
+        .orderBy(col("event_id"))
+    }),
     "q92_escalation_cep" -> ((s, dir) => {
       // MATCH_RECOGNIZE-lite sequence CEP: every turn whose last 3
       // tiers strictly improve (rank strictly decreasing in event
@@ -2316,6 +2337,17 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
          SELECT token, cnt FROM c, n WHERE cnt * 200 > total
          ORDER BY cnt DESC, token""",
+    "q93_asof_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         d AS (SELECT user_id, CAST(v AS INT) AS ver,
+             make_timestamp((1704069000 + v * 21600 + user_id * 60)
+               * 1000000) AS dts,
+             'p' || v AS plan
+           FROM u, (SELECT unnest(range(0, 4)) AS v) vs)
+         SELECT e.event_id, e.user_id, d.plan, d.ver
+         FROM events e ASOF LEFT JOIN d
+           ON e.user_id = d.user_id AND e.ts >= d.dts
+         ORDER BY e.event_id""",
     "q92_escalation_cep" ->
       s"""WITH a AS (SELECT conv_id, turn_idx, ts,
              CASE highest_tier WHEN 'tier_1' THEN 0

@@ -142,4 +142,55 @@ object VersionedDim {
         }
       }
   }
+
+  /** AS-OF join: attach to each event the LATEST dimension row with
+    * dim ts <= event ts for the same key — the point-in-time lookup
+    * (event against the version effective at its time) as a GENERIC
+    * relational operator, for dimensions too large to broadcast as a
+    * VersionedDimIndex.
+    *
+    * Spark-first formulation: NO join at all. Both sides union into
+    * one tagged stream; ONE hash exchange on the key and one sort by
+    * (ts, side, ordCol) let `last(…, ignoreNulls)` carry each
+    * dimension attribute forward to the events that follow it. Work
+    * is one sorted run per key — no range-join quadratic blowup, no
+    * per-event binary search structure to build, and a hot key
+    * degrades to a single sorted scan, never a cross product.
+    *
+    * Tie rules: a dimension row AT an event's exact ts applies to it
+    * (as-of is <=, the dimension side sorts first); among equal-ts
+    * dimension rows the highest `ordCol` wins. Events with no
+    * preceding dimension row keep NULL attributes (left semantics —
+    * exactly DuckDB's ASOF LEFT JOIN, which is what q93's oracle
+    * uses). Caveat: a NULL in a dimension attribute is carried OVER
+    * (ignoreNulls) — encode explicit "cleared" states with sentinels,
+    * not NULLs.
+    */
+  def asofJoin(events: DataFrame, dim: DataFrame, keyCol: String,
+               tsCol: String, ordCol: String,
+               valCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(valCols.nonEmpty, "asofJoin needs at least one value column")
+    val evStruct = struct(events.columns.map(col).toIndexedSeq: _*)
+    val evSide = events.select(
+      Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(dim.schema(ordCol).dataType).as("_ord"),
+        evStruct.as("_ev")) ++
+        valCols.map(v => lit(null).cast(dim.schema(v).dataType).as(v)): _*)
+    val dimSide = dim.select(
+      Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(0).as("_side"),
+        col(ordCol).as("_ord"),
+        lit(null).cast(evSide.schema("_ev").dataType).as("_ev")) ++
+        valCols.map(col): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_side").asc, col("_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = evSide.unionByName(dimSide)
+      .select(Seq(col("_side"), col("_ev")) ++
+        valCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+    carried.filter(col("_side") === 1)
+      .select(events.columns.map(c => col(s"_ev.$c").as(c)).toIndexedSeq ++
+        valCols.map(col): _*)
+  }
 }

@@ -512,6 +512,20 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("asof join is one exchange + one sort — never a range join") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val e = Seq((1L, "k", ts(5))).toDF("event_id", "k", "ts")
+    val d = Seq(("k", ts(1), 0, "v")).toDF("k", "ts", "ver", "name")
+    val plan = graft.operators.VersionedDim.asofJoin(e, d, "k", "ts",
+        "ver", Seq("name"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"asof must be the union+window form, not a join:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(nEx == 1, s"expected exactly 1 key exchange, got $nEx:\n$plan")
+  }
+
   test("temperature mix keep-path is map-only like the target mix") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = operators.Mixing.mixByTemperature(

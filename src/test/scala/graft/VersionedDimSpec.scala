@@ -117,4 +117,35 @@ class VersionedDimSpec extends AnyFunSuite {
     assert(idx.at(2000L) eq idx.versions(1))
     assert(idx.at(99999L) eq idx.versions(2))
   }
+
+  test("asof join: nearest-earlier version, exact-ts tie, left nulls") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, "k1", ts(5)),   // before any version -> NULL
+      (2L, "k1", ts(10)),  // exactly at v0's ts -> v0 (as-of is <=)
+      (3L, "k1", ts(25)),  // between v0 and v1 -> v0
+      (4L, "k1", ts(30)),  // at v1+v2's shared ts -> highest ord (v2)
+      (5L, "k1", ts(99)),  // after everything -> v2
+      (6L, "k2", ts(50)),  // other key: own timeline -> w0
+      (7L, "k3", ts(50)))  // key with NO versions at all -> NULL
+      .toDF("event_id", "k", "ts")
+    val dim = Seq(
+      ("k1", ts(10), 0, "v0"),
+      ("k1", ts(30), 1, "v1"),
+      ("k1", ts(30), 2, "v2"), // same ts as v1: higher ver wins
+      ("k2", ts(40), 0, "w0"))
+      .toDF("k", "ts", "ver", "name")
+    def run(e: org.apache.spark.sql.DataFrame,
+            d: org.apache.spark.sql.DataFrame) =
+      graft.operators.VersionedDim.asofJoin(e, d, "k", "ts", "ver",
+          Seq("name"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val got = run(events, dim)
+    assert(got == Map(1L -> None, 2L -> Some("v0"), 3L -> Some("v0"),
+      4L -> Some("v2"), 5L -> Some("v2"), 6L -> Some("w0"), 7L -> None),
+      s"got $got")
+    // partitioning independence
+    assert(run(events.repartition(5), dim.repartition(3)) == got)
+  }
 }
