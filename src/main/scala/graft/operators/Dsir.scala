@@ -92,7 +92,11 @@ object Dsir {
       "buckets must be in (0, 2^20] — use a broadcast-join table beyond that")
     val cT = Array.fill(buckets)(0L)
     val cR = Array.fill(buckets)(0L)
-    docs.select(targetCond.as("t"),
+    // rows where the condition is three-valued NULL belong to NEITHER
+    // corpus — exactly the two-corpus form's behavior, where both
+    // filter(cond) and filter(!cond) drop them
+    docs.filter(targetCond.isNotNull)
+      .select(targetCond.as("t"),
         TextOps.tokens(col(textCol)).as("toks"))
       .select(col("t"),
         explode(Classifier.featureArray(col("toks"))).as("feature"))

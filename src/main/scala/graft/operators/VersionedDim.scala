@@ -172,13 +172,21 @@ object VersionedDim {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(valCols.nonEmpty, "asofJoin needs at least one value column")
+    val clash = events.columns.toSet.intersect(valCols.toSet)
+    require(clash.isEmpty,
+      s"events already carry value column(s): ${clash.mkString(", ")}")
     val evStruct = struct(events.columns.map(col).toIndexedSeq: _*)
     val evSide = events.select(
       Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(1).as("_side"),
         lit(null).cast(dim.schema(ordCol).dataType).as("_ord"),
         evStruct.as("_ev")) ++
         valCols.map(v => lit(null).cast(dim.schema(v).dataType).as(v)): _*)
-    val dimSide = dim.select(
+    // a NULL-key dimension row can never equi-match in SQL asof
+    // semantics — but the window's partitionBy GROUPS nulls, so it
+    // must be dropped here (NULL-key events then see an empty
+    // dimension timeline and keep NULL attributes, exactly the SQL
+    // result)
+    val dimSide = dim.filter(col(keyCol).isNotNull).select(
       Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(0).as("_side"),
         col(ordCol).as("_ord"),
         lit(null).cast(evSide.schema("_ev").dataType).as("_ev")) ++

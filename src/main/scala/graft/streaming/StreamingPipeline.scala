@@ -258,68 +258,106 @@ object StreamingPipeline {
 
   final case class Escalation(conv_id: String, turn_idx: Int,
       tier_rank: Int, from_rank: Int)
-  /** `lastRanks` = the most recent runLen−1 tier ranks, newest first. */
-  final case class EscState(lastMs: Long, lastIdx: Int,
-      lastRanks: List[Int])
+  /** `lastRanks` = the most recent runLen−1 finalized tier ranks,
+    * newest first; `pending` = (tsMicros, turn_idx, rank) rows the
+    * watermark has not yet passed (a within-watermark reorder across
+    * micro-batches must not corrupt the sequence).
+    */
+  final case class EscState(lastUs: Long, lastIdx: Int,
+      lastRanks: List[Int], pending: List[(Long, Int, Int)])
+
+  /** Microsecond event time — a sequence detector must order at full
+    * timestamp precision (millisecond truncation could invert
+    * sub-millisecond turns; the q92 oracle orders by the full ts).
+    */
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Tier-escalation pattern detector — the MATCH_RECOGNIZE-shaped
     * CEP operator over annotated turns: emit every turn whose last
     * `runLen` tiers are STRICTLY improving (rank strictly decreasing
-    * turn-over-turn; rank per Reports.prioritizePerLine — tier_1=0 …
-    * tier_4=4). The SQL equivalent is a lag-window predicate
+    * turn-over-turn; rank = the canonical graft.model.Tiers.rank).
+    * The SQL equivalent is a lag-window predicate
     * (rk < r1 < … < r_{runLen−1}), which is exactly what q92's oracle
-    * replays; the streaming form needs only O(runLen) state per
-    * conversation: the last runLen−1 ranks plus the last event
-    * position.
+    * replays.
     *
-    * Ordering contract: turns are consumed in (ts, turn_idx) order —
-    * each micro-batch slice is sorted (group iterators carry no
-    * ordering), and a row at or before the last processed position is
-    * dropped deterministically (the pipeline's late-data contract; a
-    * sequence pattern cannot be patched retroactively without
-    * unbounded buffering). State evicts one session gap after the
-    * newest turn via event-time timeout. Batch mode = one sorted pass
-    * per conversation from empty state — pinned equal to the
-    * streaming run in StreamingSpec.
+    * Ordering contract: a turn is FINALIZED into the sequence only
+    * once the watermark passes its event time — until then it buffers
+    * in state, so rows reordered ACROSS micro-batches within the
+    * watermark finalize in correct (ts, turn_idx) order and the
+    * stream output equals the batch run's. Only genuinely late rows
+    * drop — ones at or before the finalized frontier, plus rows whose
+    * event time the watermark itself has passed (Spark's stateful-
+    * operator pre-filter removes those before the function runs). State per conversation = the last runLen−1
+    * finalized ranks plus the watermark-bounded pending buffer
+    * (O(delay × turn rate), the same bound every watermarked operator
+    * carries). Quiet conversations flush via event-time timeout;
+    * state evicts one session gap after the newest finalized turn.
+    * Batch mode = one sorted pass per conversation from empty state —
+    * pinned equal to the streaming run in StreamingSpec.
     */
   def escalationsStream(ann: Dataset[Annotation], cfg: StreamConfig,
       runLen: Int = 3): Dataset[Escalation] = {
     import ann.sparkSession.implicits._
     require(runLen >= 2, "runLen must be >= 2")
     val streaming = ann.isStreaming
-    def rankOf(t: String): Int = t match {
-      case "tier_1" => 0
-      case "tier_1b" => 1
-      case "tier_2" => 2
-      case "tier_3" => 3
-      case _ => 4
-    }
 
     def fsm(convId: String, rows: Iterator[Annotation],
             state: GroupState[EscState]): Iterator[Escalation] = {
-      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val wmUs =
+        if (!streaming) Long.MaxValue
+        else if (state.getCurrentWatermarkMs() > 0)
+          state.getCurrentWatermarkMs() * 1000L
+        else 0L
       var st = state.getOption.getOrElse(
-        EscState(Long.MinValue, Int.MinValue, Nil))
+        EscState(Long.MinValue, Int.MinValue, Nil, Nil))
+      if (!state.hasTimedOut) {
+        val add = rows.map(a => (tsMicros(a.ts), a.turn_idx,
+            graft.model.Tiers.rank.getOrElse(a.highest_tier, 4)))
+          .filter { case (t, i, _) =>
+            t > st.lastUs || (t == st.lastUs && i > st.lastIdx) }
+          .toList
+        if (add.nonEmpty) st = st.copy(pending = add ::: st.pending)
+      }
+      // finalize everything the watermark has passed, in (ts, idx)
+      // order; rows AT the watermark hold (equal-time peers may still
+      // arrive)
+      val (ready, hold) = st.pending.partition(_._1 < wmUs)
       val out = List.newBuilder[Escalation]
-      for (a <- rows.toSeq.sortBy(a => (a.ts.getTime, a.turn_idx))) {
-        val t = a.ts.getTime
-        if (t > st.lastMs || (t == st.lastMs && a.turn_idx > st.lastIdx)) {
-          val rk = rankOf(a.highest_tier)
-          val window = rk :: st.lastRanks // newest first
+      var lastUs = st.lastUs
+      var lastIdx = st.lastIdx
+      var ranks = st.lastRanks
+      for ((t, i, rk) <- ready.sortBy(x => (x._1, x._2))) {
+        if (t > lastUs || (t == lastUs && i > lastIdx)) {
+          val window = rk :: ranks // newest first
           if (window.length >= runLen) {
             val w = window.take(runLen)
             // newest-first strictly ascending ⇔ strictly improving in
             // time order
             if (w.zip(w.tail).forall { case (nw, older) => nw < older })
-              out += Escalation(convId, a.turn_idx, rk, w.last)
+              out += Escalation(convId, i, rk, w.last)
           }
-          st = EscState(t, a.turn_idx, window.take(runLen - 1))
+          lastUs = t
+          lastIdx = i
+          ranks = window.take(runLen - 1)
         }
       }
-      state.update(st)
-      if (streaming)
-        state.setTimeoutTimestamp(math.max(st.lastMs + cfg.sessionGapMs,
-          state.getCurrentWatermarkMs() + 1))
+      st = EscState(lastUs, lastIdx, ranks, hold)
+      if (!streaming) {
+        state.update(st) // single batch pass; value unused afterwards
+      } else if (hold.isEmpty && lastUs != Long.MinValue &&
+          wmUs > lastUs + cfg.sessionGapMs * 1000L) {
+        state.remove()
+      } else {
+        state.update(st)
+        val nextMs =
+          if (hold.nonEmpty) hold.map(_._1).min / 1000L + 1L
+          else if (lastUs != Long.MinValue)
+            lastUs / 1000L + cfg.sessionGapMs
+          else Long.MinValue
+        state.setTimeoutTimestamp(
+          math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+      }
       out.result().iterator
     }
 

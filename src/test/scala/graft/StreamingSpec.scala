@@ -287,26 +287,46 @@ class StreamingSpec extends AnyFunSuite {
       ann("convA", 4, "tier_1"))
     val b = Seq(ann("convB", 0, "tier_1b"), ann("convB", 1, "tier_2"),
       ann("convB", 2, "tier_3"))
+    // convC's run arrives REORDERED across micro-batches (turn 1 in a
+    // later batch than turn 2, both within the watermark): the
+    // pending buffer must still finalize 4->3->2 in order
+    val c = Seq(ann("convC", 0, "tier_4"), ann("convC", 1, "tier_3"),
+      ann("convC", 2, "tier_2"))
+    // watermark-advancing sentinel (single turn — can never form a
+    // run): in streaming it pushes the watermark past every real turn
+    // so the pending buffers finalize before the query stops
+    val z = Seq(ann("convZ", 50, "tier_4"))
+    val want = Set(("convA", 2, 2, 4), ("convC", 2, 2, 4))
     val batchGot = StreamingPipeline.escalationsStream(
-        spark.createDataset(a ++ b), StreamConfig(), runLen = 3)
+        spark.createDataset(a ++ b ++ c ++ z), StreamConfig(), runLen = 3)
       .collect().map(e => (e.conv_id, e.turn_idx, e.tier_rank,
         e.from_rank)).toSet
-    assert(batchGot == Set(("convA", 2, 2, 4)), s"batch got $batchGot")
-    // streaming across micro-batch boundaries mid-run: same rows
+    assert(batchGot == want, s"batch got $batchGot")
+    // streaming across micro-batch boundaries mid-run: same rows.
+    // The 10-minute watermark delay keeps convC's reordered turn 1
+    // INSIDE the watermark when it arrives one batch after turn 2
+    // (a tighter delay would let Spark's stateful pre-filter drop it
+    // as genuinely late — the documented contract). Two sentinel
+    // batches: the first advances the watermark past every real turn,
+    // the second delivers the event-time timeouts that flush the
+    // pending buffers.
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Annotation]
     val q = StreamingPipeline.escalationsStream(mem.toDS(),
-        StreamConfig(watermark = "1 minute"), runLen = 3)
+        StreamConfig(watermark = "10 minutes"), runLen = 3)
       .writeStream.format("memory").queryName("esc")
       .outputMode(OutputMode.Append).start()
-    for (chunk <- Seq(a.take(2) ++ b.take(1), a.drop(2) ++ b.drop(1))) {
+    for (chunk <- Seq(
+        a.take(2) ++ b.take(1) ++ Seq(c(0), c(2)),
+        a.drop(2) ++ b.drop(1) ++ Seq(c(1)),
+        z, Seq(ann("convZ", 51, "tier_4")))) {
       mem.addData(chunk); q.processAllAvailable()
     }
     q.stop()
     val got = spark.table("esc")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
         r.getInt(3))).toSet
-    assert(got == batchGot, s"stream got $got")
+    assert(got == want, s"stream got $got")
   }
 
   test("burst detector: stream==batch, adjacency rule, late rows dropped") {

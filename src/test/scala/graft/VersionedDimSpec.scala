@@ -128,13 +128,15 @@ class VersionedDimSpec extends AnyFunSuite {
       (4L, "k1", ts(30)),  // at v1+v2's shared ts -> highest ord (v2)
       (5L, "k1", ts(99)),  // after everything -> v2
       (6L, "k2", ts(50)),  // other key: own timeline -> w0
-      (7L, "k3", ts(50)))  // key with NO versions at all -> NULL
+      (7L, "k3", ts(50)),  // key with NO versions at all -> NULL
+      (8L, null, ts(50)))  // NULL key: never equi-matches -> NULL
       .toDF("event_id", "k", "ts")
     val dim = Seq(
       ("k1", ts(10), 0, "v0"),
       ("k1", ts(30), 1, "v1"),
       ("k1", ts(30), 2, "v2"), // same ts as v1: higher ver wins
-      ("k2", ts(40), 0, "w0"))
+      ("k2", ts(40), 0, "w0"),
+      (null, ts(1), 0, "poison")) // NULL-key dim row must match NOTHING
       .toDF("k", "ts", "ver", "name")
     def run(e: org.apache.spark.sql.DataFrame,
             d: org.apache.spark.sql.DataFrame) =
@@ -143,7 +145,8 @@ class VersionedDimSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
     val got = run(events, dim)
     assert(got == Map(1L -> None, 2L -> Some("v0"), 3L -> Some("v0"),
-      4L -> Some("v2"), 5L -> Some("v2"), 6L -> Some("w0"), 7L -> None),
+      4L -> Some("v2"), 5L -> Some("v2"), 6L -> Some("w0"), 7L -> None,
+      8L -> None),
       s"got $got")
     // partitioning independence
     assert(run(events.repartition(5), dim.repartition(3)) == got)
