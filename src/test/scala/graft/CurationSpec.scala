@@ -694,6 +694,59 @@ class CurationSpec extends AnyFunSuite {
     assert(rep.head == 2, s"expected 2 distinct shared trigrams, got ${rep.toSeq}")
   }
 
+  test("curate flow: funnel monotone, planted junk removed, deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.select(col("doc_id"),
+      concat(lit("https://www.site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")).as("url"),
+      col("source"), col("text"))
+    // planted junk the pipeline must remove: a URL-variant re-crawl of
+    // doc 20 and a blocklist violator
+    val crawl = base
+      .unionByName(base.filter(col("doc_id") === 20)
+        .select(lit(9000001L).as("doc_id"),
+          concat(upper(col("url")), lit("#frag")).as("url"),
+          col("source"), col("text")))
+      .unionByName(base.filter(col("doc_id") === 21)
+        .select(lit(9000002L).as("doc_id"),
+          lit("https://www.site0.example.com/p/violator").as("url"),
+          col("source"), concat(col("text"), lit(" darn!")).as("text")))
+    val evalSet = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    // the synthetic corpus carries no English stopwords: waive that
+    // one Gopher rule, keep the others (CurateFlow scaladoc)
+    val gate = "n_words >= 20 AND mean_word_len_g BETWEEN 3.0 AND 10.0 " +
+        "AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8"
+    val r = graft.operators.CurateFlow.run(crawl, evalSet,
+      budgetTokens = 20000L, maxPerDomain = 1000, qualityKeep = gate)
+    val counts = r.funnel.toMap
+    // funnel monotone non-increasing in pipeline order
+    val order = r.funnel.map(_._2)
+    assert(order.zip(order.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: ${r.funnel}")
+    // the URL re-crawl collapsed; the blocklist violator dropped
+    assert(counts("url_dedup") == counts("input") - 1)
+    val ids = r.released.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.contains(9000001L) && !ids.contains(9000002L))
+    assert(ids.nonEmpty)
+    // eval leakage gone: the eval docs themselves (doc_id < 10) would
+    // trivially self-contaminate and must be absent
+    assert(ids.forall(_ >= 10))
+    // shard range sane
+    val shards = r.released.select("shard").distinct()
+      .collect().map(_.getInt(0))
+    assert(shards.forall(s => s >= 0 && s < 16))
+    // determinism: a repartitioned rerun releases the same ids
+    val r2 = graft.operators.CurateFlow.run(crawl.repartition(7), evalSet,
+      budgetTokens = 20000L, maxPerDomain = 1000, qualityKeep = gate)
+    val ids2 = r2.released.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids2 == ids)
+    assert(r2.funnel == r.funnel)
+  }
+
   test("temperature mixing upweights small sources and clamps at 1") {
     import spark.implicits._
     // 'big' = 64 docs x 4 tokens, 'small' = 4 docs x 4 tokens
