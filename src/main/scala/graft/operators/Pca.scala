@@ -61,19 +61,24 @@ object Pca {
   }
 
   /** Exact integer moments of the quantized embedding cloud: one
-    * aggregation, buffer = [n, S_0..S_{d-1}, P_upper-triangle].
+    * aggregation, buffer = [n, max|q|, S_0..S_{d-1}, P_upper-triangle].
+    * The max-|q| slot lets the driver PROVE the product moments could
+    * not have overflowed (a silent wrap would yield a garbage
+    * covariance and a plausible-looking but wrong rotation).
     */
   private class MomentAgg(dim: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
-    private val len = 1 + dim + dim * (dim + 1) / 2
+    private val len = 2 + dim + dim * (dim + 1) / 2
     override def zero: Array[Long] = new Array[Long](len)
     override def reduce(b: Array[Long], q: Array[Long]): Array[Long] = {
       require(q.length == dim, s"expected dim=$dim, got ${q.length}")
       b(0) += 1L
       var i = 0
-      var p = 1 + dim
+      var p = 2 + dim
       while (i < dim) {
-        b(1 + i) += q(i)
+        val a = math.abs(q(i))
+        if (a > b(1)) b(1) = a
+        b(2 + i) += q(i)
         var j = i
         while (j < dim) {
           b(p) += q(i) * q(j)
@@ -85,7 +90,9 @@ object Pca {
       b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
+      a(0) += b(0)
+      if (b(1) > a(1)) a(1) = b(1)
+      var i = 2
       while (i < len) { a(i) += b(i); i += 1 }
       a
     }
@@ -110,15 +117,30 @@ object Pca {
       .select(new MomentAgg(dim).toColumn).head()
     val n = m(0)
     require(n >= 2, s"PCA fit needs at least 2 rows, got $n")
-    val sums = java.util.Arrays.copyOfRange(m, 1, 1 + dim)
-    // covariance (×n², exact-integer inputs): C_ij = n·P_ij − S_i·S_j
+    // overflow proof for the EXACT pass: |P_ij| ≤ n·max|q|² must fit a
+    // Long, or the integer moments silently wrapped (a garbage
+    // covariance with a plausible-looking rotation). At
+    // unit-normalized embeddings and scale 1000 this admits ~9×10¹²
+    // rows; beyond that, fit on a hash-threshold sample (scaladoc).
+    val maxQ = math.max(m(1), 1L)
+    require(BigInt(n) * BigInt(maxQ) * BigInt(maxQ) <= BigInt(Long.MaxValue),
+      s"PCA moment pass would overflow: n=$n max|q|=$maxQ — " +
+        "fit on a Sampling.sample sample instead")
+    val sums = java.util.Arrays.copyOfRange(m, 2, 2 + dim)
+    // covariance (×n²): C_ij = n·P_ij − S_i·S_j, in DOUBLE — n·P would
+    // overflow Long ~10⁶ rows earlier than the exact pass itself. The
+    // inputs are exact order-free integers, so the IEEE products are
+    // still bit-identical on any partitioning; rounding beyond 2⁵³
+    // costs eigensolve accuracy (like any float PCA), never
+    // determinism.
     val cov = Array.ofDim[Double](dim, dim)
-    var p = 1 + dim
+    var p = 2 + dim
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = (n * m(p) - sums(i) * sums(j)).toDouble
+        val c = n.toDouble * m(p).toDouble -
+          sums(i).toDouble * sums(j).toDouble
         cov(i)(j) = c
         cov(j)(i) = c
         p += 1
