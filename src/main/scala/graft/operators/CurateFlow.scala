@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *      (q79) — admission control, cheapest first;
   *   2. per-document filters: C4 blocklist (q83) + Gopher rules (q68);
   *   3. text dedup, narrowest scope outward: within-doc lines (q89),
-  *      cross-corpus paragraphs (q69), exact fingerprints (q06),
-  *      Jaccard near-dups keep-first (q36/q37);
+  *      cross-corpus paragraphs (q69), exact content fingerprints
+  *      (q63's batch rule), Jaccard near-dups keep-first (q36/q37);
   *   4. eval decontamination via the Bloom regime (q87/q51);
   *   5. packaging: temperature mix to a token budget (q91) and
   *      deterministic shard assignment (q78).
@@ -32,11 +32,9 @@ object CurateFlow {
 
   /** `docs` needs (doc_id, url, text, source). `evalDocs` needs
     * (doc_id, text). The released frame carries (doc_id, url, source,
-    * text, shard).
-    */
-  /** `qualityKeep` is a SQL boolean expression over
+    * text, shard). `qualityKeep` is a SQL boolean expression over
     * [[TextOps.gopherRulesTable]]'s rule columns; the default is the
-    * published composed verdict. Corpora that aren't natural prose
+    * published composed verdict — corpora that aren't natural prose
     * (the synthetic test corpus is stopword-free jargon) tune the
     * gate here rather than fork the pipeline.
     */
@@ -71,25 +69,28 @@ object CurateFlow {
     val urlDeduped = stage("url_dedup",
       normed.join(firstPerUrl, Seq("doc_id"), "left_semi").drop("_norm"))
 
-    // 1b. per-domain crawl-diversity cap (q79)
+    // 1b. per-domain crawl-diversity cap (q79). Each sampling stage
+    // gets its OWN salt: the cap keeps the LOWEST md5(id:salt) ranks
+    // per domain, so reusing one salt for the mix would hand the mix
+    // a hash range the cap already filtered — a binding cap would
+    // make the mix keep ~everything and blow the token budget
     val capped = stage("domain_cap",
       UrlOps.capPerDomain(urlDeduped, "doc_id", "url", maxPerDomain,
-        salt).drop("domain"))
+        salt + ":cap").drop("domain"))
 
-    // 2. per-doc quality gates: C4 blocklist + Gopher rules
-    val blockKeep = TextOps.blocklistTable(capped, "doc_id", "text",
-      blocklist).filter(col("keep")).select(col("doc_id"))
-    val gopherKeep = TextOps.gopherRulesTable(capped, "doc_id", "text")
-      .filter(expr(qualityKeep)).select(col("doc_id"))
+    // 2. per-doc quality gates, IN PLACE (map-side filter on the rule
+    // columns — never a verdict-table re-join): C4 blocklist + Gopher
+    val gopherCols = TextOps.gopherRulesTable(capped.limit(0), "doc_id",
+      "text").columns.filter(_ != "doc_id")
     val filtered = stage("quality_filters",
-      capped.join(blockKeep, Seq("doc_id"), "left_semi")
-        .join(gopherKeep, Seq("doc_id"), "left_semi"))
+      TextOps.gopherAnnotate(capped, "text")
+        .filter(TextOps.blocklistHits(col("text"), blocklist) === 0L &&
+          expr(qualityKeep))
+        .drop(gopherCols.toIndexedSeq: _*))
 
-    // 3a. within-doc line dedup (map-only) — rewrites text in place
+    // 3a. within-doc line dedup — map-only in-place rewrite (q89)
     val lineDeduped = stage("line_dedup_indoc",
-      filtered.drop("text")
-        .join(TextOps.dedupLinesInDoc(filtered, "doc_id", "text")
-          .withColumnRenamed("text_dedup", "text"), Seq("doc_id")))
+      TextOps.dedupLinesInPlace(filtered, "text"))
 
     // 3b. corpus-wide paragraph dedup (first arrival wins)
     val paraDeduped = stage("para_dedup",
@@ -98,7 +99,10 @@ object CurateFlow {
           .withColumnRenamed("text_dedup", "text"), Seq("doc_id"))
         .filter(length(col("text")) > 0))
 
-    // 3c. exact dedup on the normalized 64-bit fingerprint
+    // 3c. exact CONTENT dedup on the normalized fingerprint — the
+    // batch form of dedupByContent (q63): case/whitespace re-crawl
+    // variants collapse (q06's raw-hash dedup deliberately keeps them
+    // distinct — wrong for a release)
     val firstPerFp = paraDeduped
       .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("_fp"))
       .groupBy(col("_fp")).agg(min(col("doc_id")).as("doc_id"))
@@ -122,8 +126,9 @@ object CurateFlow {
     // 5. temperature mix to the token budget, then shard assignment
     val mixed = stage("temperature_mix",
       Mixing.mixByTemperature(cleanDocs, "doc_id", "source", "text",
-        budgetTokens, salt))
-    val released = Mixing.assignShards(mixed, "doc_id", nShards, salt)
+        budgetTokens, salt + ":mix"))
+    val released = Mixing.assignShards(mixed, "doc_id", nShards,
+      salt + ":shard")
 
     CurateResult(released, funnel.result())
   }

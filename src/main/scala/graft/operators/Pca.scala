@@ -76,7 +76,11 @@ object Pca {
       var i = 0
       var p = 2 + dim
       while (i < dim) {
-        val a = math.abs(q(i))
+        // abs(Long.MinValue) is negative: saturate the witness to
+        // MaxValue so the overflow require REJECTS such data instead
+        // of letting the wrapped moments masquerade as proven-exact
+        val a =
+          if (q(i) == Long.MinValue) Long.MaxValue else math.abs(q(i))
         if (a > b(1)) b(1) = a
         b(2 + i) += q(i)
         var j = i

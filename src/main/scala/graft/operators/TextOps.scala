@@ -151,16 +151,23 @@ object TextOps {
     * without substring false-positives ("class" never matches "ass").
     */
   def blocklistTable(docs: DataFrame, idCol: String, textCol: String,
-                     words: Seq[String]): DataFrame = {
+                     words: Seq[String]): DataFrame =
+    docs.select(col(idCol),
+        blocklistHits(col(textCol), words).as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+
+  /** The blocklist hit count as a bare Column — lets pipelines gate in
+    * place (one map-side filter) instead of re-joining the verdict
+    * table on the id.
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "blocklist must be non-empty")
     // Locale.ROOT: tokens() lowers locale-independently; a default
     // tr-TR JVM would otherwise map 'I' -> dotless ı and never match
     val wordSet = words.map(_.toLowerCase(java.util.Locale.ROOT))
-    val hits = filter(tokens(col(textCol)), t =>
+    size(filter(tokens(text), t =>
       regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")
-        .isInCollection(wordSet))
-    docs.select(col(idCol), size(hits).cast("long").as("n_blocked"))
-      .withColumn("keep", col("n_blocked") === 0L)
+        .isInCollection(wordSet))).cast("long")
   }
 
   /** EXACT φ-heavy hitters (tokens with count > N/k) without ever
@@ -214,6 +221,32 @@ object TextOps {
     staged.select(col(idCol) +:
       gopherRulesFrom(col("_toks"), col("_lines"), col("_nsym"))
         .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** `gopherRulesTable` with the input columns passed THROUGH: appends
+    * the rule columns to `docs`, so pipelines gate with a map-side
+    * filter instead of re-joining a verdict table on the id. Same
+    * staged-projection discipline (the token/line arrays are
+    * multi-referenced, so CollapseProject keeps the tokenize to one
+    * run per row).
+    */
+  def gopherAnnotate(docs: DataFrame, textCol: String): DataFrame = {
+    val taken = docs.columns.toSet
+    def fresh(base: String) = Iterator.from(0).map(i => s"$base$i")
+      .find(c => !taken.contains(c)).get
+    val tk = fresh("_toks")
+    val ln = fresh("_lines")
+    val ns = fresh("_nsym")
+    val rules = gopherRulesFrom(col(tk), col(ln), col(ns))
+    val clash = rules.map(_._1).filter(taken.contains)
+    require(clash.isEmpty,
+      s"input already has rule column(s): ${clash.mkString(", ")}")
+    rules.foldLeft(docs
+        .withColumn(tk, tokens(col(textCol)))
+        .withColumn(ln, split(col(textCol), "\n"))
+        .withColumn(ns, regexp_count(col(textCol), lit("#|\\.\\.\\.|…")))) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }.drop(tk, ln, ns)
   }
 
   private def gopherRulesFrom(toks: Column, lines: Column,
@@ -293,16 +326,26 @@ object TextOps {
     * lines-per-document, corpus-size-independent.
     */
   def dedupLinesInDoc(docs: DataFrame, idCol: String, textCol: String,
-                      sep: String = "\n"): DataFrame = {
+                      sep: String = "\n"): DataFrame =
+    dedupLinesInPlace(docs.select(col(idCol), col(textCol)), textCol, sep)
+      .withColumnRenamed(textCol, "text_dedup")
+
+  /** `dedupLinesInDoc` rewriting `textCol` IN PLACE with every other
+    * column passed through — the composition form: zero joins, zero
+    * shuffles (re-attaching the rewritten text by id would cost a
+    * full-corpus exchange for a map-only transform).
+    */
+  def dedupLinesInPlace(docs: DataFrame, textCol: String,
+                        sep: String = "\n"): DataFrame = {
     val tmp = Iterator.from(0).map(i => s"_lines$i")
       .find(c => !docs.columns.contains(c)).get
     docs
       .withColumn(tmp,
         split(col(textCol), java.util.regex.Pattern.quote(sep)))
-      .select(col(idCol),
+      .withColumn(textCol,
         concat_ws(sep, filter(col(tmp), (x, i) =>
-          array_position(col(tmp), x) === (i + 1).cast("long")))
-          .as("text_dedup"))
+          array_position(col(tmp), x) === (i + 1).cast("long"))))
+      .drop(tmp)
   }
 
   /** Reassemble (idCol, pos, para) survivor rows into per-document

@@ -181,12 +181,14 @@ object VersionedDim {
         lit(null).cast(dim.schema(ordCol).dataType).as("_ord"),
         evStruct.as("_ev")) ++
         valCols.map(v => lit(null).cast(dim.schema(v).dataType).as(v)): _*)
-    // a NULL-key dimension row can never equi-match in SQL asof
-    // semantics — but the window's partitionBy GROUPS nulls, so it
-    // must be dropped here (NULL-key events then see an empty
-    // dimension timeline and keep NULL attributes, exactly the SQL
-    // result)
-    val dimSide = dim.filter(col(keyCol).isNotNull).select(
+    // NULL-key and NULL-ts dimension rows can never match in SQL asof
+    // semantics (NULL never equi-joins; dim.ts <= ev.ts is never true
+    // for NULL ts) — but the window GROUPS null keys and sorts null
+    // ts FIRST (poisoning the whole timeline), so both drop here;
+    // NULL-key events then see an empty timeline and keep NULL
+    // attributes, exactly the SQL result
+    val dimSide = dim
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull).select(
       Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(0).as("_side"),
         col(ordCol).as("_ord"),
         lit(null).cast(evSide.schema("_ev").dataType).as("_ev")) ++

@@ -136,7 +136,10 @@ class VersionedDimSpec extends AnyFunSuite {
       ("k1", ts(30), 1, "v1"),
       ("k1", ts(30), 2, "v2"), // same ts as v1: higher ver wins
       ("k2", ts(40), 0, "w0"),
-      (null, ts(1), 0, "poison")) // NULL-key dim row must match NOTHING
+      (null, ts(1), 0, "poison"), // NULL-key dim row must match NOTHING
+      // NULL-ts dim row: would sort FIRST and poison the timeline —
+      // SQL asof (dim.ts <= ev.ts) can never match it
+      ("k1", null, 9, "tspoison"))
       .toDF("k", "ts", "ver", "name")
     def run(e: org.apache.spark.sql.DataFrame,
             d: org.apache.spark.sql.DataFrame) =
