@@ -773,15 +773,23 @@ object SparkEntry {
     }),
     "q48_vocab" -> ((s, dir) => {
       // per-language vocabulary cardinality, EXACT (two-phase distinct
-      // aggregate — the oracle-checkable path). At corpus scale the
-      // one-pass mergeable-sketch variant is approx_count_distinct
-      // (HLL); DataOpsSpec pins it within 5% of this exact result
+      // aggregate — the oracle-checkable path), written as explicit
+      // stacked aggregations: Catalyst's mixed distinct/non-distinct
+      // rewrite plans an Expand that doubles the exploded token
+      // relation before the first shuffle; the explicit (lang, token)
+      // pre-aggregation ships each partition's distinct tokens once
+      // and carries the occurrence count alongside. Same exact result
+      // (n_vocab = rows per lang, n_tokens = Σ per-token counts). At
+      // corpus scale the one-pass mergeable-sketch variant is
+      // approx_count_distinct (HLL); DataOpsSpec pins it within 5%
       t(s, dir, "documents")
         .select(col("lang"),
           explode(operators.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("_c"))
         .groupBy(col("lang"))
-        .agg(countDistinct(col("token")).as("n_vocab"),
-          count(lit(1)).as("n_tokens"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("_c")).as("n_tokens"))
         .orderBy(col("lang"))
     }),
     "q49_sliding_value_window" -> ((s, dir) => {

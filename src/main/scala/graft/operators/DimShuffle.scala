@@ -136,7 +136,16 @@ object DimShuffle {
     val consUdf = udf((p: Long, n: Long, ub: Long, ud: Long) =>
       Nomenclature.consensus(p, n, ub, ud))
     // additive vote across matched variants, then the canonical
-    // (drug, ct-rank, ct) ordering via sort_array over struct fields
+    // (drug, ct-rank, ct) ordering via sort_array over struct fields.
+    // ONE turn-keyed aggregation builds every tier's list (per-tier
+    // slices carved expression-side from the collected structs): the
+    // per-(turn, tier) intermediate groupBy was a full extra exchange
+    // of the support-list relation, and hash partitioning on
+    // (conv, turn, tier) cannot be reused by the (conv, turn) key
+    // anyway. Map entries for absent tiers are empty lists — the
+    // consumers' getOrElse(Nil) image is identical.
+    val tierNames = array(lit("tier_1"), lit("tier_1b"),
+      lit("tier_2"), lit("tier_3"))
     val lists = exploded
       .join(support, Seq("gene_key", "var_id"))
       .groupBy(col("conv_id"), col("turn_idx"), col("tier"),
@@ -146,14 +155,15 @@ object DimShuffle {
       .filter(col("pos") + col("neg") + col("unk_b") + col("unk_d") > 0)
       .withColumn("s", concat(col("drug"), lit(":"), upper(col("ct")),
         lit(":"), consUdf(col("pos"), col("neg"), col("unk_b"), col("unk_d"))))
-      .groupBy(col("conv_id"), col("turn_idx"), col("tier"))
-      .agg(transform(
-        sort_array(collect_list(struct(
-          col("drug"), rankUdf(col("ct")).as("rank"), col("ct"), col("s")))),
-        x => x.getField("s")).as("ds"))
       .groupBy(col("conv_id"), col("turn_idx"))
-      .agg(map_from_entries(collect_list(struct(col("tier"), col("ds"))))
-        .as("ds_by_tier"))
+      .agg(collect_list(struct(col("tier"), col("drug"),
+        rankUdf(col("ct")).as("rank"), col("ct"), col("s"))).as("_all"))
+      .select(col("conv_id"), col("turn_idx"),
+        map_from_arrays(tierNames,
+          transform(tierNames, tn =>
+            transform(
+              sort_array(filter(col("_all"), x => x.getField("tier") === tn)),
+              x => x.getField("s")))).as("ds_by_tier"))
       .as[(String, Int, Map[String, Seq[String]])]
 
     // re-attach: inner data are small per turn; the join is on the

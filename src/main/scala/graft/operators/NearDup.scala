@@ -111,6 +111,24 @@ object NearDup {
         xxhash64(slice(sigCol, b * rows + 1, rows)).as("bucket"))
     }: _*)
 
+  /** Ordered candidate pairs (doc_a < doc_b) from a capped bucket
+    * relation (`doc` + the bucket key columns): members are grouped
+    * per bucket — the list is bounded because the input is already
+    * cap-filtered — and pairs explode from the list. Reuses the
+    * upstream cap-join's hash partitioning (groupBy on the join key
+    * needs no new exchange), so candidate generation adds ZERO
+    * exchanges where the bucket self-join formulation re-shuffled and
+    * sorted the bucket relation twice. Emits each unordered pair once
+    * per bucket (members are distinct within a bucket on every caller's
+    * path); callers dedup across buckets.
+    */
+  private def bucketPairs(capped: DataFrame, keyCols: Seq[String]): DataFrame =
+    capped.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("doc")).as("_ds"))
+      .select(explode(col("_ds")).as("doc_a"), col("_ds"))
+      .select(col("doc_a"),
+        explode(filter(col("_ds"), x => x > col("doc_a"))).as("doc_b"))
+
   /** Candidate near-duplicate pairs via MinHash LSH, verified with
     * exact Jaccard over the shingle sets. Returns (doc_a, doc_b,
     * jaccard) with doc_a < doc_b, jaccard >= threshold.
@@ -152,14 +170,14 @@ object NearDup {
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") > 1)
       .select(col("band"), col("bucket"))
-    val capped = banded.join(okBuckets, Seq("band", "bucket"))
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // bucket members grouped AFTER the cap join (list size bounded by
+    // maxBucket), reusing the join's hash partitioning — then ordered
+    // pairs explode from each list. This replaces the bucket SELF-JOIN
+    // (two more exchanges + sorts of the banded relation) with zero
+    // additional exchanges; the pair multiset is identical.
+    val cand = bucketPairs(
+      banded.join(okBuckets, Seq("band", "bucket")),
+      Seq("band", "bucket"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification: re-attach shingles only for candidates
     val shA = withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
@@ -208,18 +226,18 @@ object NearDup {
         .warn("jaccardNearDups running UNCAPPED (maxDocFreq<=0): the " +
           "posting self-join is O(df^2) per shingle and goes quadratic " +
           "on hot shingles — bounded runs should pass maxDocFreq > 0")
-    // one persisted relation: the capped posting list is what every
-    // downstream consumer (sizes, both join sides) reads — persisting
-    // the pre-explode shingle arrays too would double the cache
-    // footprint for no extra scan savings
     val posting = docs
       .select(col(idCol).as("doc"),
         explode(TextOps.shingles(col(textCol), nShingle)).as("s"))
     // capping paths, cheapest first: an explicit stop-shingle set
     // (e.g. from hotShinglesSketch — zero-shuffle derivation) applies
     // as a broadcast anti-join; otherwise the exact doc-frequency
-    // count-filter-join (one extra aggregation over the postings)
-    val capped = persistTracked(
+    // count-filter-join (one extra aggregation over the postings).
+    // The posting LISTS are only ever collected AFTER the cap (list
+    // length bounded by maxDocFreq — no hot shingle ever materializes
+    // its members), reusing the cap join's hash partitioning, so the
+    // grouped form costs no extra exchange over the capped postings.
+    val capped =
       if (stopShingles.nonEmpty) {
         import docs.sparkSession.implicits._
         posting.join(
@@ -239,14 +257,25 @@ object NearDup {
             count(lit(1)).as("distinct_shingles"))
         posting.join(
           dfCounts.filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s"))
-      })
+      }
+    // ONE persisted relation of retained (shingle -> member list) rows:
+    // sizes and the pair counts both read it; it is vocabulary-bounded
+    // in rows and cap-bounded per row — strictly smaller than the
+    // exploded postings the self-join formulation persisted
+    val lists = persistTracked(capped.groupBy(col("s"))
+      .agg(collect_list(col("doc")).as("_ds")))
     // sizes over the capped postings: the ratio is then the exact
     // jaccard of the retained-vocabulary shingle sets
-    val sizes = capped.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val a = capped.alias("a"); val b = capped.alias("b")
-    val inter = a.join(b,
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val sizes = lists.select(explode(col("_ds")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    // shared-shingle counts per ordered pair via in-list pair explode —
+    // the inverted-index self-join expressed without the second and
+    // third exchange+sort of the posting relation
+    val inter = lists
+      .select(explode(col("_ds")).as("doc_a"), col("_ds"))
+      .select(col("doc_a"),
+        explode(filter(col("_ds"), x => x > col("doc_a"))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
@@ -313,14 +342,24 @@ object NearDup {
           .filter(col("_df") <= maxDocFreq).select(col("s")))
         p => p.join(ok, Seq("s"))
       }
-    val ca = persistTracked(capped(pa))
-    val cb = persistTracked(capped(pb))
-    val sizesA = ca.groupBy(col("doc")).agg(count(lit(1)).as("n_a"))
+    // per-side (shingle -> member list) relations: cap-bounded per row
+    // (the quadratic guard), strictly smaller than the exploded
+    // postings; both groupBys and the cross-side join share one hash
+    // partitioning on s, so the pair derivation re-shuffles nothing
+    val la = persistTracked(capped(pa).groupBy(col("s"))
+      .agg(collect_list(col("doc")).as("_da")))
+    val lb = persistTracked(capped(pb).groupBy(col("s"))
+      .agg(collect_list(col("doc")).as("_db")))
+    val sizesA = la.select(explode(col("_da")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_a"))
       .withColumnRenamed("doc", "doc_a")
-    val sizesB = cb.groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
+    val sizesB = lb.select(explode(col("_db")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
       .withColumnRenamed("doc", "doc_b")
-    ca.alias("a").join(cb.alias("b"), col("a.s") === col("b.s"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    la.join(lb, Seq("s"))
+      .select(explode(col("_da")).as("doc_a"), col("_db"))
+      .select(col("doc_a"), explode(col("_db")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizesA, Seq("doc_a"))
       .join(sizesB, Seq("doc_b"))
@@ -445,12 +484,10 @@ object NearDup {
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") > 1)
       .select(col("table"), col("sig"))
-    val capped = sigs.join(okBuckets, Seq("table", "sig"))
-    val a = capped.alias("a"); val b = capped.alias("b")
-    val cand = a.join(b,
-        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // grouped-members pair explode over the capped buckets (bounded by
+    // maxBucket), replacing the bucket self-join — see bucketPairs
+    val cand = bucketPairs(sigs.join(okBuckets, Seq("table", "sig")),
+        Seq("table", "sig"))
       .dropDuplicates("doc_a", "doc_b")
     val vA = base.select(col("doc").as("doc_a"), col("vec").as("vec_a"))
     val vB = base.select(col("doc").as("doc_b"), col("vec").as("vec_b"))
@@ -510,12 +547,10 @@ object NearDup {
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") > 1)
       .select(col("chunk"), col("v"))
-    val capped = chunks.join(okBuckets, Seq("chunk", "v"))
-    val a = capped.alias("a"); val b = capped.alias("b")
-    val cand = a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // grouped-members pair explode over the capped buckets (bounded by
+    // maxBucket), replacing the bucket self-join — see bucketPairs
+    val cand = bucketPairs(chunks.join(okBuckets, Seq("chunk", "v")),
+        Seq("chunk", "v"))
       .dropDuplicates("doc_a", "doc_b")
     val sA = withSig.select(col("doc").as("doc_a"), col("sig").as("sig_a"))
     val sB = withSig.select(col("doc").as("doc_b"), col("sig").as("sig_b"))

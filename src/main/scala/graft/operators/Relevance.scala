@@ -144,13 +144,17 @@ object Relevance {
       .withColumn("nll_q",
         floor(-log(col("cnt").cast("double") / total) * 1000).cast("long"))
       .select(col("term"), col("nll_q"))
+    // per-OCCURRENCE scoring: join each token row to its type's nll and
+    // partial-aggregate straight to the doc key — Σ_occurrences nll_q
+    // equals Σ_types tf·nll_q exactly (integers), and dropping the
+    // intermediate (doc, term) aggregation removes one full exchange of
+    // the token relation (the (doc, term) partitioning never served the
+    // term-keyed join anyway)
     val scored = CacheRegistry.persistTracked(tok
-      .groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).as("tf"))
       .join(nll, Seq("term"))
       .groupBy(col("doc"))
-      .agg(sum(col("tf") * col("nll_q")).as("score_q"),
-        sum(col("tf")).as("n_tok"))
+      .agg(sum(col("nll_q")).as("score_q"),
+        count(lit(1)).as("n_tok"))
       .withColumn("mean_nll_q", expr("score_q div n_tok")))
     val th = scored.agg(
       percentile(col("mean_nll_q"), lit(0.25)).as("q1"),
@@ -240,12 +244,17 @@ object Relevance {
       .join(uni.select(col("term"), col("nll_uni_q")), Seq("term"), "left")
       .select(col("doc"),
         coalesce(col("nll_uni_q"), lit(nllUniOov)).as("contrib"))
+    // per-OCCURRENCE scoring (the lmScoreQuantized discipline): each
+    // bigram occurrence looks up its nll directly and the doc sum is
+    // partial-aggregated — Σ_occurrences nll equals Σ_types tf·nll
+    // exactly (integers), and the dropped (doc, w1, w2) pre-aggregation
+    // was a full extra exchange that never served the (w1, w2)- or
+    // w2-keyed lookup joins
     val bigr = bigramExplode(evalT)
-      .groupBy(col("doc"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
       .join(trainBi, Seq("w1", "w2"), "left")
       .join(uni.select(col("term").as("w2"), col("nll_bo_q")), Seq("w2"), "left")
-      .select(col("doc"), (col("tf") *
-        coalesce(col("nll_bi_q"), col("nll_bo_q"), lit(nllBoOov))).as("contrib"))
+      .select(col("doc"),
+        coalesce(col("nll_bi_q"), col("nll_bo_q"), lit(nllBoOov)).as("contrib"))
     val scored = CacheRegistry.persistTracked(
       firsts.unionByName(bigr)
         .groupBy(col("doc")).agg(sum(col("contrib")).as("score_q"))
