@@ -57,11 +57,27 @@ object Pipeline {
   def annotate(turns: Dataset[Turn], bc: Broadcast[DimIndex]): Dataset[Annotation] =
     MatchKernel.annotate(turns, bc)
 
-  /** Flagship end-to-end run on synthesized transcripts. */
+  /** Flagship end-to-end run on synthesized transcripts.
+    *
+    * Memoized + persisted per (session, cfg) — the `cachedIndex` /
+    * `jaccardPairs` discipline: the annotation relation is
+    * deterministic given the session's index and the generator
+    * config, and it fans out to ~a dozen consumers (reports, output
+    * assembly, cohort stats, SQL surface), several of which consume
+    * it twice in one plan (Spark has no cross-branch subtree reuse) —
+    * without the persist the kernel re-runs once per consumption.
+    * Direct persist (not CacheRegistry): the relation is a session
+    * artifact, not a per-query intermediate.
+    */
+  private val runCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Synth.TurnGenConfig), DataFrame]
+
   def run(spark: SparkSession,
           cfg: Synth.TurnGenConfig = Synth.TurnGenConfig(
-            nConvs = 100, turnsPerConv = 10, nGenes = DefaultGenes)): DataFrame = {
-    val bc = cachedIndex(spark, cfg.nGenes)
-    annotate(Synth.transcripts(spark, cfg), bc).toDF()
-  }
+            nConvs = 100, turnsPerConv = 10, nGenes = DefaultGenes)): DataFrame =
+    runCache.getOrElseUpdate((spark.sparkContext.applicationId, cfg), {
+      val bc = cachedIndex(spark, cfg.nGenes)
+      annotate(Synth.transcripts(spark, cfg), bc).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 }

@@ -110,11 +110,16 @@ object BpeTrain {
     */
   def bpeTokenize(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[BpeMerge]): DataFrame = {
-    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-    val seg = segmentTable(words, "word", merges)
+    // ONE tokenize+explode pass feeds both consumers (the distinct-word
+    // vocabulary the segmentation table derives from, and the corpus
+    // occurrence join): without the cache the corpus is scanned and
+    // exploded twice
+    val tok = CacheRegistry.persistTracked(
+      docs.select(col(idCol).as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("word")))
+    val seg = segmentTable(tok, "word", merges)
       .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
-    docs.select(col(idCol).as("doc"),
-        explode(TextOps.tokens(col(textCol))).as("word"))
+    tok
       .join(broadcast(seg), Seq("word"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))

@@ -178,8 +178,11 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()))
     val useSHJ = sys.env.get("GRAFT_CC_SHJ").contains("1")
-    val hotThreshold =
-      sys.env.get("GRAFT_CC_HOT").map(_.toLong).getOrElse(hotDegreeThreshold)
+    // malformed overrides degrade to the parameter/default rather than
+    // throwing NumberFormatException inside every CC call
+    val hotThreshold = sys.env.get("GRAFT_CC_HOT")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(hotDegreeThreshold)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -241,8 +244,11 @@ object Components {
     val effective =
       if (threshold > 0) threshold
       else {
-        val parallelism = edges.sparkSession.conf
-          .get("spark.sql.shuffle.partitions", "200").toLong.max(1L)
+        // non-numeric conf values (e.g. "auto" on some platforms) fall
+        // back to the default instead of throwing mid-round
+        val parallelism = scala.util.Try(edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toLong)
+          .getOrElse(200L).max(1L)
         (1L << 17).max(4L * edgeCount / parallelism)
       }
     // driver-side early-out: a node's symmetric degree is bounded by

@@ -73,8 +73,20 @@ object Dsir {
     require(buckets > 0 && buckets <= (1 << 20),
       "buckets must be in (0, 2^20] — use a broadcast-join table beyond that")
     val (cT, tT) = bucketCounts(target, idCol, textCol, buckets)
-    val (cR, tR) = bucketCounts(raw, idCol, textCol, buckets)
-    score(raw, idCol, textCol, k, buckets, salt, cT, tT, cR, tR)
+    // raw-side buckets computed ONCE for fit + scoring (see
+    // selectTopKSplit — the raw corpus is the bulk of the hash work)
+    val rawB = CacheRegistry.persistTracked(
+      raw.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("toks"))
+        .select(col(idCol),
+          transform(Classifier.featureArray(col("toks")),
+            f => bucket(f, buckets).cast("int")).as("bs")))
+    val cR = Array.fill(buckets)(0L)
+    rawB.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => cR(r.getInt(0)) = r.getLong(1))
+    scoreBuckets(rawB, idCol, k, buckets, salt, cT, tT, cR, cR.sum)
   }
 
   /** `selectTopK` for the common deployment where target and raw
@@ -94,30 +106,41 @@ object Dsir {
     val cR = Array.fill(buckets)(0L)
     // rows where the condition is three-valued NULL belong to NEITHER
     // corpus — exactly the two-corpus form's behavior, where both
-    // filter(cond) and filter(!cond) drop them
-    docs.filter(targetCond.isNotNull)
-      .select(targetCond.as("t"),
-        TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("t"),
-        explode(Classifier.featureArray(col("toks"))).as("feature"))
-      .select(col("t"), bucket(col("feature"), buckets).as("b"))
+    // filter(cond) and filter(!cond) drop them.
+    // ONE tokenize+feature+md5 pass feeds BOTH the LM fits and the
+    // scoring fold: the per-doc feature-BUCKET array is materialized
+    // once (tracked persist), so the scoring pass re-reads small int
+    // arrays instead of re-tokenizing and re-hashing every feature
+    // occurrence a second time — at corpus scale the md5 work halves
+    // (the scoring side dominates: raw is the bulk of the corpus).
+    val withB = CacheRegistry.persistTracked(
+      docs.filter(targetCond.isNotNull)
+        .select(col(idCol), targetCond.as("t"),
+          TextOps.tokens(col(textCol)).as("toks"))
+        .select(col(idCol), col("t"),
+          transform(Classifier.featureArray(col("toks")),
+            f => bucket(f, buckets).cast("int")).as("bs")))
+    withB.select(col("t"), explode(col("bs")).as("b"))
       .groupBy(col("b"), col("t")).agg(count(lit(1)).as("c"))
       .collect()
       .foreach { r =>
         val arr = if (r.getBoolean(1)) cT else cR
-        arr(r.getLong(0).toInt) = r.getLong(2)
+        arr(r.getInt(0)) = r.getLong(2)
       }
-    score(docs.filter(!targetCond), idCol, textCol, k, buckets, salt,
-      cT, cT.sum, cR, cR.sum)
+    scoreBuckets(withB.filter(!col("t")).select(col(idCol), col("bs")),
+      idCol, k, buckets, salt, cT, cT.sum, cR, cR.sum)
   }
 
-  /** The shared weight+Gumbel+top-k pass over the raw corpus, given
-    * the two fitted bucket LMs.
+  /** The shared weight+Gumbel+top-k pass over pre-bucketed raw rows
+    * (idCol, bs: array<int> of feature buckets — the SAME
+    * bucket(feature) images the LM fits aggregated, computed once and
+    * shared so the scoring pass never re-hashes a feature), given the
+    * two fitted bucket LMs.
     */
-  private def score(raw: DataFrame, idCol: String, textCol: String,
-                    k: Int, buckets: Int, salt: String,
-                    cT: Array[Long], tT: Long,
-                    cR: Array[Long], tR: Long): DataFrame = {
+  private def scoreBuckets(rawB: DataFrame, idCol: String,
+                           k: Int, buckets: Int, salt: String,
+                           cT: Array[Long], tT: Long,
+                           cR: Array[Long], tR: Long): DataFrame = {
     def nlpQ(c: Long, t: Long): Long =
       math.floor(-math.log((c + 1).toDouble / (t + buckets)) * 1000).toLong
     // llr_q[b] ≈ 1000·(ln p_target − ln p_raw), via the two millinat
@@ -127,22 +150,17 @@ object Dsir {
       (0 until buckets).map(b => nlpQ(cR(b), tR) - nlpQ(cT(b), tT))
     val lut = typedlit(llr)
 
-    // map-only scoring: tokenize once per row (two-step select so
-    // CollapseProject cannot re-inline the split per reference), then
-    // fold the document's own feature array over the LLR table
-    val toks = raw.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-    // the SAME feature definition the LM fits used (Classifier owns
-    // the unigram+bigram space — fit and scoring may not drift)
-    val feats = Classifier.featureArray(col("toks"))
+    // map-only scoring: fold the document's own bucket array over the
+    // LLR table — zero hashes, zero exchanges
     val logw = aggregate(
-      transform(feats, f => element_at(lut, (bucket(f, buckets) + 1).cast("int"))),
+      transform(col("bs"), b => element_at(lut, b + 1)),
       lit(0L), (acc, x) => acc + x)
     val u = (conv(substring(md5(concat(col(idCol).cast("string"),
         lit(":" + salt))), 1, 8), 16, 10)
       .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
     val gumbel = floor(-log(-log(u)) * 1000).cast("long")
 
-    toks.select(col(idCol), logw.as("logw_q"), gumbel.as("gumbel_q"))
+    rawB.select(col(idCol), logw.as("logw_q"), gumbel.as("gumbel_q"))
       .withColumn("key_q", col("logw_q") + col("gumbel_q"))
       .orderBy(col("key_q").desc, col(idCol))
       .limit(k)

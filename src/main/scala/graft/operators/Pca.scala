@@ -42,8 +42,10 @@ object Pca {
 
   /** Fitted model. `rotQ(c)(i)` = component c's loading on slot i,
     * quantized at wScale; `mbar(i)` = rounded quantized mean;
-    * `eigvals` = covariance eigenvalues (descending), in quantized
-    * units² (divide by n·scale² for raw-variance units).
+    * `eigvals` = eigenvalues of the scatter matrix C = n·P − S·Sᵀ
+    * (descending) — that is n²·scale²·Var_raw, so divide by n²·scale²
+    * for raw-variance units (component order/rotation are unaffected
+    * by the scaling).
     */
   case class PcaModel(dim: Int, k: Int, scale: Int, wScale: Long,
       nRows: Long, mbar: Array[Long], rotQ: Array[Array[Long]],
@@ -107,7 +109,14 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Fit a k-component model. One distributed pass + driver eigensolve. */
+  /** Fit a k-component model. One distributed pass + driver eigensolve.
+    *
+    * NOTE: `PcaProjectExpression` (the projection consumer) requires
+    * `vecCol` to be ARRAY<FLOAT>; fit accepts any numeric array (it
+    * quantizes via a double cast), but a model fit on array<double>
+    * cannot be projected on the same column — feed both fit and
+    * projection array<float> embeddings.
+    */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int,
           scale: Int = 1000, sweeps: Int = 24): PcaModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")

@@ -165,13 +165,30 @@ object VersionedDim {
     * uses). Caveat: a NULL in a dimension attribute is carried OVER
     * (ignoreNulls) — encode explicit "cleared" states with sentinels,
     * not NULLs.
+    *
+    * SKEW (the r5 `weak` finding): window functions have no partial
+    * aggregation, so the single-window form sorts a hot key's ENTIRE
+    * timeline in one task. Above `maxSingleWindowRows` the operator
+    * switches to a two-pass TIME-BUCKETED carry-forward: the window
+    * partitions by (key, time bucket) — a hot key's timeline splits
+    * across buckets — and each bucket's leading events resolve
+    * against a per-(key, bucket) carry-in relation (the latest
+    * preceding bucket tail, one row per (key, bucket) — the second
+    * window is bounded by the bucket count per key, never the row
+    * count). Output is row-identical to the single-window form
+    * (VersionedDimSpec parity pin). The regime probe is ONE
+    * partial-aggregated pass (count + ts range) that also supplies
+    * the bucket width; `nBuckets` forces a regime for tests/benches
+    * (1 = single window, >1 = that many buckets, 0 = probe).
     */
   def asofJoin(events: DataFrame, dim: DataFrame, keyCol: String,
                tsCol: String, ordCol: String,
-               valCols: Seq[String]): DataFrame = {
+               valCols: Seq[String], nBuckets: Int = 0,
+               maxSingleWindowRows: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(valCols.nonEmpty, "asofJoin needs at least one value column")
+    require(nBuckets >= 0, "nBuckets must be >= 0")
     val clash = events.columns.toSet.intersect(valCols.toSet)
     require(clash.isEmpty,
       s"events already carry value column(s): ${clash.mkString(", ")}")
@@ -193,14 +210,82 @@ object VersionedDim {
         col(ordCol).as("_ord"),
         lit(null).cast(evSide.schema("_ev").dataType).as("_ev")) ++
         valCols.map(col): _*)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts").asc, col("_side").asc, col("_ord").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = evSide.unionByName(dimSide)
-      .select(Seq(col("_side"), col("_ev")) ++
-        valCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
-    carried.filter(col("_side") === 1)
-      .select(events.columns.map(c => col(s"_ev.$c").as(c)).toIndexedSeq ++
-        valCols.map(col): _*)
+    val union = evSide.unionByName(dimSide)
+    // monotone numeric image of the timeline for bucketing (timestamp
+    // casts to epoch seconds — any monotone image works: bucket
+    // assignment only needs order preservation and equal-ts cohesion)
+    val tsl = col("_ts").cast("long")
+
+    def singleWindow: DataFrame = {
+      val w = Window.partitionBy(col("_k"))
+        .orderBy(col("_ts").asc, col("_side").asc, col("_ord").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carried = union
+        .select(Seq(col("_side"), col("_ev")) ++
+          valCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+      carried.filter(col("_side") === 1)
+        .select(events.columns.map(c => col(s"_ev.$c").as(c)).toIndexedSeq ++
+          valCols.map(col): _*)
+    }
+
+    def bucketed(lo: Long, hi: Long, nb: Long): DataFrame = {
+      val width = ((hi - lo) / nb + 1L).max(1L)
+      // per-(key, bucket) carry window + the bucket's closing row in
+      // ONE sorted pass: rn == cnt marks the tail, whose carried
+      // values are the bucket's per-column last non-nulls
+      val wB = Window.partitionBy(col("_k"), col("_b"))
+        .orderBy(col("_ts").asc, col("_side").asc, col("_ord").asc)
+      val carried = union
+        .withColumn("_b", floor((tsl - lo) / width))
+        .select(Seq(col("_k"), col("_b"), col("_side"), col("_ev"),
+          row_number().over(wB).as("_rn"),
+          count(lit(1)).over(wB.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("_cnt")) ++
+          valCols.map(v => last(col(v), ignoreNulls = true)
+            .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as(v)): _*)
+      val cp = CacheRegistry.persistTracked(carried)
+      // carry-in per (key, bucket): last non-null tail value over
+      // STRICTLY earlier buckets — one row per (key, bucket), so this
+      // window is bounded by the bucket count, never the data
+      val wIn = Window.partitionBy(col("_k")).orderBy(col("_b").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carryIn = cp.filter(col("_rn") === col("_cnt"))
+        .select(Seq(col("_k"), col("_b")) ++
+          valCols.map(v => col(v).as(s"_in_$v")): _*)
+        .select(Seq(col("_k"), col("_b")) ++
+          valCols.map(v =>
+            last(col(s"_in_$v"), ignoreNulls = true).over(wIn).as(s"_in_$v")): _*)
+      // leading events fill from the carry-in; the join key is the
+      // window's own partitioning, so only the tiny carry-in side
+      // exchanges
+      cp.filter(col("_side") === 1)
+        .join(carryIn, Seq("_k", "_b"), "left")
+        .select(events.columns.map(c => col(s"_ev.$c").as(c)).toIndexedSeq ++
+          valCols.map(v => coalesce(col(v), col(s"_in_$v")).as(v)): _*)
+    }
+
+    if (nBuckets == 1) singleWindow
+    else if (nBuckets > 1) {
+      val r = union.agg(min(tsl), max(tsl)).head()
+      if (r.isNullAt(0)) singleWindow
+      else bucketed(r.getLong(0), r.getLong(1), nBuckets.toLong)
+    } else {
+      // regime probe: one partial-aggregated scan gives the row count
+      // and the ts range; small inputs keep the one-exchange
+      // single-window plan (and pay nothing but this probe)
+      val r = union.agg(count(lit(1)), min(tsl), max(tsl)).head()
+      val n = r.getLong(0)
+      if (n <= maxSingleWindowRows || r.isNullAt(1)) singleWindow
+      else {
+        // bucket count tracks the shuffle parallelism so a 100%-hot
+        // key spreads across ~8 tasks' worth of buckets; clamped so
+        // the carry-in relation stays small per key
+        val p = scala.util.Try(events.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toLong)
+          .getOrElse(200L).max(1L)
+        bucketed(r.getLong(1), r.getLong(2), (8L * p).min(4096L).max(2L))
+      }
+    }
   }
 }

@@ -288,18 +288,28 @@ object StreamingPipeline {
     * stream output equals the batch run's. Only genuinely late rows
     * drop — ones at or before the finalized frontier, plus rows whose
     * event time the watermark itself has passed (Spark's stateful-
-    * operator pre-filter removes those before the function runs). State per conversation = the last runLen−1
-    * finalized ranks plus the watermark-bounded pending buffer
-    * (O(delay × turn rate), the same bound every watermarked operator
-    * carries). Quiet conversations flush via event-time timeout;
-    * state evicts one session gap after the newest finalized turn.
-    * Batch mode = one sorted pass per conversation from empty state —
-    * pinned equal to the streaming run in StreamingSpec.
+    * operator pre-filter removes those before the function runs).
+    * State per conversation = the last runLen−1 finalized ranks plus
+    * the pending buffer, which is HARD-BOUNDED at `maxPending` rows
+    * (the r5 `weak` fix — watermark-delay × turn rate alone let one
+    * hot conversation put ~10% of every in-flight batch into a single
+    * RocksDB value): when a conversation exceeds the cap, the OLDEST
+    * overflow rows force-finalize immediately in (ts, turn_idx)
+    * order — deterministic, and for in-order arrivals output-identical
+    * to the uncapped operator (the forced prefix would have finalized
+    * first anyway); what the cap sacrifices is reorder tolerance
+    * BEYOND maxPending buffered turns — a row arriving later but
+    * ordering before the forced frontier drops as late (pinned in
+    * StreamingSpec). Quiet conversations flush via event-time
+    * timeout; state evicts one session gap after the newest finalized
+    * turn. Batch mode = one sorted pass per conversation from empty
+    * state — pinned equal to the streaming run in StreamingSpec.
     */
   def escalationsStream(ann: Dataset[Annotation], cfg: StreamConfig,
-      runLen: Int = 3): Dataset[Escalation] = {
+      runLen: Int = 3, maxPending: Int = 1 << 16): Dataset[Escalation] = {
     import ann.sparkSession.implicits._
     require(runLen >= 2, "runLen must be >= 2")
+    require(maxPending >= 1, "maxPending must be >= 1")
     val streaming = ann.isStreaming
 
     def fsm(convId: String, rows: Iterator[Annotation],
@@ -321,13 +331,19 @@ object StreamingPipeline {
       }
       // finalize everything the watermark has passed, in (ts, idx)
       // order; rows AT the watermark hold (equal-time peers may still
-      // arrive)
-      val (ready, hold) = st.pending.partition(_._1 < wmUs)
+      // arrive). ONE sort serves both the watermark split (ts < wmUs
+      // is a prefix of the (ts, idx) order) and the overflow policy:
+      // anything beyond maxPending force-finalizes oldest-first, so
+      // the held suffix never exceeds the cap.
+      val sorted = st.pending.sortBy(x => (x._1, x._2))
+      val nReady = sorted.segmentLength(_._1 < wmUs, 0)
+        .max(sorted.length - maxPending)
+      val (ready, hold) = sorted.splitAt(nReady)
       val out = List.newBuilder[Escalation]
       var lastUs = st.lastUs
       var lastIdx = st.lastIdx
       var ranks = st.lastRanks
-      for ((t, i, rk) <- ready.sortBy(x => (x._1, x._2))) {
+      for ((t, i, rk) <- ready) {
         if (t > lastUs || (t == lastUs && i > lastIdx)) {
           val window = rk :: ranks // newest first
           if (window.length >= runLen) {

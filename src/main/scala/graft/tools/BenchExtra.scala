@@ -59,9 +59,11 @@ object BenchExtra {
         graft.operators.Components.releaseAll()
         dt
       }
-      println(f"""BENCHX $name reps=$reps min=${times.min}%.3f med=${
-        times.sorted.apply(times.size / 2)}%.3f all=${
-        times.map(t => f"$t%.3f").mkString(",")}""")
+      if (times.nonEmpty)
+        println(f"""BENCHX $name reps=$reps min=${times.min}%.3f med=${
+          times.sorted.apply(times.size / 2)}%.3f all=${
+          times.map(t => f"$t%.3f").mkString(",")}""")
+      else println(s"BENCHX $name plan-only")
     }
     spark.stop()
   }

@@ -526,6 +526,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nEx == 1, s"expected exactly 1 key exchange, got $nEx:\n$plan")
   }
 
+  test("asof join bucketed regime: (key, bucket) windows, no range join") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val e = (1L to 50L).map(i => (i, "k", ts(i))).toDF("event_id", "k", "ts")
+    val d = Seq(("k", ts(1), 0, "v")).toDF("k", "ts", "ver", "name")
+    val plan = graft.operators.VersionedDim.asofJoin(e, d, "k", "ts",
+        "ver", Seq("name"), nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    // the hot-key fix: data-sized windows partition by (key, BUCKET) —
+    // never by the bare key — and the only join is the equi-join
+    // against the per-(key, bucket) carry-in relation
+    assert(plan.contains("windowspecdefinition(_k#") || plan.contains("_b"),
+      s"expected (key, bucket) windows:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed asof must stay equi-join only:\n$plan")
+    graft.operators.NearDup.unpersistAll()
+  }
+
   test("temperature mix keep-path is map-only like the target mix") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = operators.Mixing.mixByTemperature(

@@ -329,6 +329,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream got $got")
   }
 
+  test("escalation CEP: hot-conversation pending cap bounds state, " +
+      "in-order arrivals unaffected") {
+    import spark.implicits._
+    import graft.operators.Annotation
+    val t0 = 1700000000000L
+    def ann(conv: String, idx: Int, tier: String) =
+      Annotation(conv, idx, "user", new java.sql.Timestamp(t0 + idx * 60000L),
+        "G", "SNV", Nil, Nil, Nil, Nil, tier_4 = tier == "tier_4",
+        tier, Nil, Nil, Nil, Nil)
+    // planted hot conversation: 40 in-order turns arrive in ONE batch
+    // while the watermark lags far behind (none watermark-finalizable)
+    // — with maxPending = 8 the oldest 32 force-finalize immediately,
+    // so state holds at most 8 pending rows; alternating 3/2/1 runs
+    // give a known escalation set
+    val tiers = Array("tier_3", "tier_2", "tier_1")
+    val hot = (0 until 40).map(i => ann("hotC", i, tiers(i % 3)))
+    val want = StreamingPipeline.escalationsStream(
+        spark.createDataset(hot), StreamConfig(), runLen = 3)
+      .collect().map(e => (e.conv_id, e.turn_idx)).toSet
+    assert(want.nonEmpty)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Annotation]
+    val q = StreamingPipeline.escalationsStream(mem.toDS(),
+        StreamConfig(watermark = "10 minutes"), runLen = 3,
+        maxPending = 8)
+      .writeStream.format("memory").queryName("esc_cap")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(hot)
+    q.processAllAvailable()
+    // an out-of-order row ordering BEFORE the forced frontier is the
+    // documented sacrifice: it must drop silently, not corrupt the
+    // finalized sequence
+    mem.addData(Seq(ann("hotC", 1, "tier_1")))
+    q.processAllAvailable()
+    mem.addData(Seq(ann("convZ", 500, "tier_4")))
+    q.processAllAvailable()
+    mem.addData(Seq(ann("convZ", 501, "tier_4")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("esc_cap")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == want, s"capped stream got $got want $want")
+  }
+
   test("burst detector: stream==batch, adjacency rule, late rows dropped") {
     import spark.implicits._
     import StreamingPipeline.TokenEvent

@@ -153,5 +153,44 @@ class VersionedDimSpec extends AnyFunSuite {
       s"got $got")
     // partitioning independence
     assert(run(events.repartition(5), dim.repartition(3)) == got)
+    // the skew-safe bucketed regime is row-identical on the SAME
+    // edge-case fixture (ties, NULL key/ts, carry across buckets)
+    val gotB = graft.operators.VersionedDim.asofJoin(events, dim,
+        "k", "ts", "ver", Seq("name"), nBuckets = 7)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(gotB == got, s"bucketed=$gotB single=$got")
+  }
+
+  test("asof join: bucketed regime == single window on a random timeline") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(93)
+    // hot key k0 carries half the events; dim rows cluster so many
+    // buckets have no dim row (carry-in must cross several buckets)
+    val events = (1L to 400L).map { i =>
+      val k = if (i % 2 == 0) "k0" else s"k${rnd.nextInt(5)}"
+      (i, k, ts(rnd.nextInt(10000).toLong))
+    }.toDF("event_id", "k", "ts")
+    val dim = (0 until 40).map { i =>
+      (s"k${rnd.nextInt(5)}", ts((rnd.nextInt(20) * 400).toLong), i,
+        s"v$i")
+    }.toDF("k", "ts", "ver", "name")
+    def run(nb: Int) = graft.operators.VersionedDim.asofJoin(
+        events, dim, "k", "ts", "ver", Seq("name", "ver"), nBuckets = nb)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)), if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .sortBy(_._1)
+    val single = run(1)
+    for (nb <- Seq(2, 13, 64))
+      assert(run(nb).sameElements(single), s"nBuckets=$nb diverged")
+    // the auto probe keeps small inputs on the single-window plan and
+    // a forced-low threshold engages bucketing with identical output
+    val auto = graft.operators.VersionedDim.asofJoin(
+        events, dim, "k", "ts", "ver", Seq("name", "ver"),
+        maxSingleWindowRows = 10)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)), if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .sortBy(_._1)
+    assert(auto.sameElements(single), "auto-bucketed diverged")
   }
 }
