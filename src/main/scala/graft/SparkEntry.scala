@@ -774,14 +774,14 @@ object SparkEntry {
     "q48_vocab" -> ((s, dir) => {
       // per-language vocabulary cardinality, EXACT (two-phase distinct
       // aggregate — the oracle-checkable path), written as explicit
-      // stacked aggregations: Catalyst's mixed distinct/non-distinct
-      // rewrite plans an Expand that doubles the exploded token
-      // relation before the first shuffle; the explicit (lang, token)
-      // pre-aggregation ships each partition's distinct tokens once
-      // and carries the occurrence count alongside. Same exact result
-      // (n_vocab = rows per lang, n_tokens = Σ per-token counts). At
-      // corpus scale the one-pass mergeable-sketch variant is
-      // approx_count_distinct (HLL); DataOpsSpec pins it within 5%
+      // stacked aggregations. Plan-identical to countDistinct+count on
+      // Spark 4 (the single-distinct rewrite already stacks without an
+      // Expand — verified plans/r06/q48_vocab_{before,after}.txt); the
+      // explicit form just states the partial-aggregation shape the
+      // query relies on. Exact result either way (n_vocab = rows per
+      // lang, n_tokens = Σ per-token counts). At corpus scale the
+      // one-pass mergeable-sketch variant is approx_count_distinct
+      // (HLL); DataOpsSpec pins it within 5%
       t(s, dir, "documents")
         .select(col("lang"),
           explode(operators.TextOps.tokens(col("text"))).as("token"))

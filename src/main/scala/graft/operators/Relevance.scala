@@ -44,7 +44,10 @@ object Relevance {
   def tfIdfQuantized(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], scale: Long = 1000000L): DataFrame = {
     val n = docs.count()
-    val tf = termFreqs(docs, idCol, textCol, terms)
+    // tf feeds both the df aggregation and the score join — one
+    // tracked persist keeps the corpus explode to a single pass
+    val tf = CacheRegistry.persistTracked(
+      termFreqs(docs, idCol, textCol, terms))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf_q", expr(s"${n * scale}L div df"))
     tf.join(broadcast(idf), Seq("term"))
@@ -78,13 +81,17 @@ object Relevance {
     */
   def bm25Quantized(docs: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], scale: Long = 1000000L): DataFrame = {
-    val n = docs.count()
+    // one pass gives both corpus scalars (row count + token total)
+    val lens = CacheRegistry.persistTracked(
+      docs.select(col(idCol).as("doc"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl")))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val n = stats.getLong(0)
     if (n == 0)
       return docs.select(col(idCol), lit(0L).as("score_q")).limit(0)
-    val lens = docs.select(col(idCol).as("doc"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
-    val sumDl = lens.agg(sum(col("dl"))).head().getLong(0)
-    val tf = termFreqs(docs, idCol, textCol, terms)
+    val sumDl = stats.getLong(1)
+    val tf = CacheRegistry.persistTracked(
+      termFreqs(docs, idCol, textCol, terms))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf_q",
         floor(log(lit(1.0) +
@@ -279,17 +286,21 @@ object Relevance {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val n = docs.count()
-    // empty corpus: avg(dl) is NULL and getDouble would NPE — return
-    // the empty result with the right schema instead. (A non-empty
-    // corpus always has avgdl >= 1: the tokenizer yields one empty
-    // token for blank text, so dl is never 0.)
+    // one pass gives both corpus scalars; empty corpus: avg(dl) is
+    // NULL and getDouble would NPE — return the empty result with the
+    // right schema instead. (A non-empty corpus always has avgdl >= 1:
+    // the tokenizer yields one empty token for blank text, so dl is
+    // never 0.)
+    val lens = CacheRegistry.persistTracked(
+      docs.select(col(idCol).as("doc"),
+        size(TextOps.tokens(col(textCol))).as("dl")))
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("a")).head()
+    val n = stats.getLong(0)
     if (n == 0)
       return docs.select(col(idCol), lit(0.0).as("bm25")).limit(0)
-    val lens = docs.select(col(idCol).as("doc"),
-      size(TextOps.tokens(col(textCol))).as("dl"))
-    val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
-    val tf = termFreqs(docs, idCol, textCol, terms)
+    val avgdl = stats.getDouble(1)
+    val tf = CacheRegistry.persistTracked(
+      termFreqs(docs, idCol, textCol, terms))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
