@@ -48,10 +48,14 @@ object Pipeline {
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Broadcast[DimIndex]]
 
   def cachedIndex(spark: SparkSession, nGenes: Int = DefaultGenes,
-                  seed: Long = DefaultSeed): Broadcast[DimIndex] =
+                  seed: Long = DefaultSeed): Broadcast[DimIndex] = {
+    // session bootstrap: JIT/codegen warm-up sweep, once per session
+    // (see SessionWarmup — pure code warming, no data any query reuses)
+    SessionWarmup.ensure(spark)
     indexCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, nGenes, seed),
       buildIndex(spark, nGenes, seed))
+  }
 
   /** Map-only batch annotation of a turn Dataset. */
   def annotate(turns: Dataset[Turn], bc: Broadcast[DimIndex]): Dataset[Annotation] =
