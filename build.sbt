@@ -26,10 +26,16 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // Throughput GC default: back-to-back full-suite A/B at 32c/sf0.1
 // measured ParallelGC 55.4-57.8s vs G1 64.3-66.5s (~13% — short-lived
-// task-local garbage, no latency SLO to protect). Placed BEFORE the
-// env hook so SPARK_GRAFT_JAVA_OPTS can still override (last flag
-// wins on the JVM command line).
-javaOptions += "-XX:+UseParallelGC"
+// task-local garbage, no latency SLO to protect). Suppressed whenever
+// SPARK_GRAFT_JAVA_OPTS selects its own collector: the JVM REJECTS two
+// enabled collectors ("Multiple garbage collectors selected") rather
+// than letting the later flag win, so the default must yield, not
+// stack.
+javaOptions ++= {
+  val user = sys.env.getOrElse("SPARK_GRAFT_JAVA_OPTS", "")
+  if (user.matches(".*-XX:\\+Use\\w*GC.*")) Seq.empty
+  else Seq("-XX:+UseParallelGC")
+}
 // extra JVM flags for GC experiments (e.g. "-XX:+UseG1GC")
 javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
   .flatMap(_.split(" ").filter(_.nonEmpty))

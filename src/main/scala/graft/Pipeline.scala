@@ -79,9 +79,14 @@ object Pipeline {
   def run(spark: SparkSession,
           cfg: Synth.TurnGenConfig = Synth.TurnGenConfig(
             nConvs = 100, turnsPerConv = 10, nGenes = DefaultGenes)): DataFrame =
-    runCache.getOrElseUpdate((spark.sparkContext.applicationId, cfg), {
-      val bc = cachedIndex(spark, cfg.nGenes)
-      annotate(Synth.transcripts(spark, cfg), bc).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    // synchronized: TrieMap.getOrElseUpdate evaluates the builder
+    // non-atomically — a concurrent first call would register a second
+    // persist whose losing copy stays pinned for the session
+    runCache.synchronized {
+      runCache.getOrElseUpdate((spark.sparkContext.applicationId, cfg), {
+        val bc = cachedIndex(spark, cfg.nGenes)
+        annotate(Synth.transcripts(spark, cfg), bc).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 }

@@ -31,8 +31,9 @@ object SessionWarmup {
   def ensure(spark: SparkSession): Unit = {
     if (!done.add(spark.sparkContext.applicationId)) return
     try sweep(spark)
-    catch { case e: Throwable =>
-      // warm-up must never break a session; queries just run colder
+    catch { case scala.util.control.NonFatal(e) =>
+      // warm-up must never break a session; queries just run colder.
+      // Fatal errors (OOM, link errors) and interrupts still propagate.
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"session warm-up sweep failed: ${e.getMessage}")
     }

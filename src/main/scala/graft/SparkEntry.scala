@@ -229,11 +229,16 @@ object SparkEntry {
   private val filteredDimCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def defaultFilteredDim(s: SparkSession): DataFrame =
-    filteredDimCache.getOrElseUpdate(s.sparkContext.applicationId,
-      operators.EvidenceFilter(
-        sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF(),
-        Pipeline.defaultFilter)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // synchronized: a racing first call would leave an unreachable
+    // second persist pinned for the session (TrieMap's builder is not
+    // atomic)
+    filteredDimCache.synchronized {
+      filteredDimCache.getOrElseUpdate(s.sparkContext.applicationId,
+        operators.EvidenceFilter(
+          sources.Synth.evidenceDim(s, Pipeline.DefaultGenes, Pipeline.DefaultSeed).toDF(),
+          Pipeline.defaultFilter)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   private def q24Collected(s: SparkSession): (DataFrame, Seq[(model.EvidenceRow, String)]) = {
     import s.implicits._

@@ -258,25 +258,45 @@ object NearDup {
         posting.join(
           dfCounts.filter(col("_df") <= maxDocFreq).select(col("s")), Seq("s"))
       }
-    // ONE persisted relation of retained (shingle -> member list) rows:
-    // sizes and the pair counts both read it; it is vocabulary-bounded
-    // in rows and cap-bounded per row — strictly smaller than the
-    // exploded postings the self-join formulation persisted
-    val lists = persistTracked(capped.groupBy(col("s"))
-      .agg(collect_list(col("doc")).as("_ds")))
-    // sizes over the capped postings: the ratio is then the exact
-    // jaccard of the retained-vocabulary shingle sets
-    val sizes = lists.select(explode(col("_ds")).as("doc"))
-      .groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    // shared-shingle counts per ordered pair via in-list pair explode —
-    // the inverted-index self-join expressed without the second and
-    // third exchange+sort of the posting relation
-    val inter = lists
-      .select(explode(col("_ds")).as("doc_a"), col("_ds"))
-      .select(col("doc_a"),
-        explode(filter(col("_ds"), x => x > col("doc_a"))).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // grouped-list pair derivation ONLY under the exact df cap (the
+    // list per row is then bounded by maxDocFreq): the uncapped and
+    // stop-shingle paths have no such guarantee — a hot shingle there
+    // would concentrate its whole posting list (and its in-list pair
+    // explode) into ONE row/task, where the self-join form is equally
+    // quadratic but at least distributes the pair rows across tasks
+    val (sizes, inter) =
+      if (maxDocFreq > 0 && stopShingles.isEmpty) {
+        // ONE persisted relation of retained (shingle -> member list)
+        // rows: sizes and the pair counts both read it; it is
+        // vocabulary-bounded in rows and cap-bounded per row —
+        // strictly smaller than the exploded postings the self-join
+        // formulation persisted
+        val lists = persistTracked(capped.groupBy(col("s"))
+          .agg(collect_list(col("doc")).as("_ds")))
+        // sizes over the capped postings: the ratio is then the exact
+        // jaccard of the retained-vocabulary shingle sets
+        val szs = lists.select(explode(col("_ds")).as("doc"))
+          .groupBy(col("doc")).agg(count(lit(1)).as("n"))
+        // shared-shingle counts per ordered pair via in-list pair
+        // explode — the inverted-index self-join expressed without the
+        // second and third exchange+sort of the posting relation
+        val inr = lists
+          .select(explode(col("_ds")).as("doc_a"), col("_ds"))
+          .select(col("doc_a"),
+            explode(filter(col("_ds"), x => x > col("doc_a"))).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        (szs, inr)
+      } else {
+        val cp = persistTracked(capped)
+        val szs = cp.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+        val a = cp.alias("a"); val b = cp.alias("b")
+        val inr = a.join(b,
+            col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        (szs, inr)
+      }
     inter
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
@@ -342,25 +362,45 @@ object NearDup {
           .filter(col("_df") <= maxDocFreq).select(col("s")))
         p => p.join(ok, Seq("s"))
       }
-    // per-side (shingle -> member list) relations: cap-bounded per row
-    // (the quadratic guard), strictly smaller than the exploded
-    // postings; both groupBys and the cross-side join share one hash
-    // partitioning on s, so the pair derivation re-shuffles nothing
-    val la = persistTracked(capped(pa).groupBy(col("s"))
-      .agg(collect_list(col("doc")).as("_da")))
-    val lb = persistTracked(capped(pb).groupBy(col("s"))
-      .agg(collect_list(col("doc")).as("_db")))
-    val sizesA = la.select(explode(col("_da")).as("doc"))
-      .groupBy(col("doc")).agg(count(lit(1)).as("n_a"))
-      .withColumnRenamed("doc", "doc_a")
-    val sizesB = lb.select(explode(col("_db")).as("doc"))
-      .groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
-      .withColumnRenamed("doc", "doc_b")
-    la.join(lb, Seq("s"))
-      .select(explode(col("_da")).as("doc_a"), col("_db"))
-      .select(col("doc_a"), explode(col("_db")).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // grouped-list pair derivation only under the exact df cap (list
+    // length then bounded by maxDocFreq — see jaccardNearDups); the
+    // uncapped/stop-shingle paths keep the distributed cross-side join
+    val (sizesA, sizesB, inter) =
+      if (maxDocFreq > 0 && stopShingles.isEmpty) {
+        // per-side (shingle -> member list) relations: cap-bounded per
+        // row (the quadratic guard), strictly smaller than the
+        // exploded postings; both groupBys and the cross-side join
+        // share one hash partitioning on s, so the pair derivation
+        // re-shuffles nothing
+        val la = persistTracked(capped(pa).groupBy(col("s"))
+          .agg(collect_list(col("doc")).as("_da")))
+        val lb = persistTracked(capped(pb).groupBy(col("s"))
+          .agg(collect_list(col("doc")).as("_db")))
+        val sa = la.select(explode(col("_da")).as("doc"))
+          .groupBy(col("doc")).agg(count(lit(1)).as("n_a"))
+          .withColumnRenamed("doc", "doc_a")
+        val sb = lb.select(explode(col("_db")).as("doc"))
+          .groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
+          .withColumnRenamed("doc", "doc_b")
+        val inr = la.join(lb, Seq("s"))
+          .select(explode(col("_da")).as("doc_a"), col("_db"))
+          .select(col("doc_a"), explode(col("_db")).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        (sa, sb, inr)
+      } else {
+        val ca = persistTracked(capped(pa))
+        val cb = persistTracked(capped(pb))
+        val sa = ca.groupBy(col("doc")).agg(count(lit(1)).as("n_a"))
+          .withColumnRenamed("doc", "doc_a")
+        val sb = cb.groupBy(col("doc")).agg(count(lit(1)).as("n_b"))
+          .withColumnRenamed("doc", "doc_b")
+        val inr = ca.alias("a").join(cb.alias("b"), col("a.s") === col("b.s"))
+          .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        (sa, sb, inr)
+      }
+    inter
       .join(sizesA, Seq("doc_a"))
       .join(sizesB, Seq("doc_b"))
       .withColumn("jaccard", round(

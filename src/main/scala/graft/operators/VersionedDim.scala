@@ -218,9 +218,19 @@ object VersionedDim {
         valCols.map(col): _*)
     val union = evSide.unionByName(dimSide)
     // monotone numeric image of the timeline for bucketing (timestamp
-    // casts to epoch seconds — any monotone image works: bucket
-    // assignment only needs order preservation and equal-ts cohesion)
-    val tsl = col("_ts").cast("long")
+    // casts to epoch seconds, dates through timestamp — any monotone
+    // image works: bucket assignment only needs order preservation and
+    // equal-ts cohesion). Types without a safe numeric image keep the
+    // single-window plan unconditionally (the pre-r6 operator only
+    // required orderability; probing must not narrow that contract).
+    import org.apache.spark.sql.types._
+    val tsType = evSide.schema("_ts").dataType
+    val tslOpt: Option[org.apache.spark.sql.Column] = tsType match {
+      case TimestampType | TimestampNTZType => Some(col("_ts").cast("long"))
+      case DateType => Some(col("_ts").cast("timestamp").cast("long"))
+      case _: NumericType => Some(col("_ts").cast("long"))
+      case _ => None
+    }
 
     def singleWindow: DataFrame = {
       val w = Window.partitionBy(col("_k"))
@@ -235,6 +245,7 @@ object VersionedDim {
     }
 
     def bucketed(lo: Long, hi: Long, nb: Long): DataFrame = {
+      val tsl = tslOpt.get // callers guard: bucketed needs the image
       val width = ((hi - lo) / nb + 1L).max(1L)
       val withB = union.withColumn("_b", floor((tsl - lo) / width))
       // per-(key, bucket) carry window over the bucketed union — a hot
@@ -274,16 +285,21 @@ object VersionedDim {
           valCols.map(v => coalesce(col(v), col(s"_in_$v")).as(v)): _*)
     }
 
-    if (nBuckets == 1) singleWindow
+    if (nBuckets == 1 || tslOpt.isEmpty) singleWindow
     else if (nBuckets > 1) {
+      val tsl = tslOpt.get
       val r = union.agg(min(tsl), max(tsl)).head()
       if (r.isNullAt(0)) singleWindow
       else bucketed(r.getLong(0), r.getLong(1), nBuckets.toLong)
     } else {
-      // regime probe: one partial-aggregated scan gives the row count
-      // and the ts range; small inputs keep the one-exchange
-      // single-window plan (and pay nothing but this probe)
-      val r = union.agg(count(lit(1)), min(tsl), max(tsl)).head()
+      // regime probe: one partial-aggregated scan over the NARROW
+      // (key, ts) projection gives the row count and the ts range;
+      // small inputs keep the one-exchange single-window plan (and pay
+      // nothing but this probe — the probe is an eager action, the
+      // price of a data-dependent regime choice)
+      val tsl = tslOpt.get
+      val r = union.select(col("_k"), col("_ts"), col("_ord"), col("_side"))
+        .agg(count(lit(1)), min(tsl), max(tsl)).head()
       val n = r.getLong(0)
       if (n <= maxSingleWindowRows || r.isNullAt(1)) singleWindow
       else if (maxKeyRows > 0 && !probeSkewed(union, maxKeyRows))

@@ -534,11 +534,16 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = graft.operators.VersionedDim.asofJoin(e, d, "k", "ts",
         "ver", Seq("name"), nBuckets = 8)
       .queryExecution.executedPlan.toString
-    // the hot-key fix: data-sized windows partition by (key, BUCKET) —
-    // never by the bare key — and the only join is the equi-join
-    // against the per-(key, bucket) carry-in relation
-    assert(plan.contains("windowspecdefinition(_k#") || plan.contains("_b"),
-      s"expected (key, bucket) windows:\n$plan")
+    // the hot-key fix: the DATA-SIZED carry window partitions by
+    // (key, BUCKET); the only bare-key window is the carry-in over the
+    // per-(key, bucket) tail rows (ordered by bucket, bounded by the
+    // bucket count); the only join is the carry-in equi-join
+    assert("windowspecdefinition\\(_k#\\d+L?, _b#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"expected a (key, bucket)-partitioned carry window:\n$plan")
+    assert("windowspecdefinition\\(_k#\\d+L?, _ts#".r
+      .findFirstIn(plan).isEmpty,
+      s"found a data-sized window partitioned by the bare key:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"bucketed asof must stay equi-join only:\n$plan")
